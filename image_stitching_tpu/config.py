@@ -1,0 +1,99 @@
+"""StitchConfig: the reference's compile-time globals as a frozen dataclass.
+
+Field names, defaults, and semantics mirror the globals at
+`/root/reference/image_stitching/image_stitching.cpp:50-85` exactly (the
+reference has no CLI parsing — values are edited and recompiled; here they
+are runtime configuration, strictly more capable with identical defaults).
+
+The reference defaults to SURF/0.65 only when OpenCV's nonfree xfeatures2d
+is compiled in (`:57-63`); the portable default is ORB/0.32, which is what
+we use.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class WaveCorrectKind(enum.Enum):
+    """cv::detail::WaveCorrectKind."""
+    HORIZ = "horiz"
+    VERT = "vert"
+    AUTO = "auto"
+    NO = "no"
+
+
+class ExposureCompensatorType(enum.Enum):
+    """cv::detail::ExposureCompensator::{NO,GAIN,GAIN_BLOCKS,CHANNELS,...}."""
+    NO = "no"
+    GAIN = "gain"
+    GAIN_BLOCKS = "gain_blocks"
+    CHANNELS = "channels"
+    CHANNELS_BLOCKS = "channels_blocks"
+
+
+class BlenderType(enum.Enum):
+    """cv::detail::Blender::{NO,FEATHER,MULTI_BAND}."""
+    NO = "no"
+    FEATHER = "feather"
+    MULTI_BAND = "multiband"
+
+
+class TimelapserType(enum.Enum):
+    """cv::detail::Timelapser::{AS_IS,CROP}."""
+    AS_IS = "as_is"
+    CROP = "crop"
+
+
+@dataclasses.dataclass(frozen=True)
+class StitchConfig:
+    # --- scales (image_stitching.cpp:53-55) ---
+    work_megapix: float = -1.0      # -1 => full resolution registration
+    seam_megapix: float = 0.1
+    compose_megapix: float = 0.4
+
+    # --- registration (:56-67) ---
+    conf_thresh: float = 0.95
+    features_type: str = "orb"       # orb | akaze | sift | surf
+    match_conf: float = 0.32         # 0.65 for surf (:59)
+    matcher_type: str = "homography"  # homography | affine
+    estimator_type: str = "homography"
+    ba_cost_func: str = "reproj"     # reproj | ray | affine | no
+    ba_refine_mask: str = "_____"    # fx,skew,ppx,aspect,ppy; '_' = frozen
+    do_wave_correct: bool = True     # (:68)
+    wave_correct: WaveCorrectKind = WaveCorrectKind.HORIZ  # (:69)
+    save_graph: bool = False         # (:70-71)
+    save_graph_to: str = ""
+
+    # --- geometry / photometric (:72-77) ---
+    warp_type: str = "spherical"
+    expos_comp_type: ExposureCompensatorType = ExposureCompensatorType.GAIN_BLOCKS
+    expos_comp_nr_feeds: int = 1
+    expos_comp_nr_filtering: int = 2
+    expos_comp_block_size: int = 64
+    seam_find_type: str = "dp_color"  # no|voronoi|gc_color|gc_colorgrad|dp_color|dp_colorgrad
+
+    # --- compositing (:78-85) ---
+    blend_type: BlenderType = BlenderType.MULTI_BAND
+    timelapse_type: TimelapserType = TimelapserType.CROP
+    blend_strength: float = 5.0
+    result_name: str = "result.jpg"
+    timelapse: bool = False
+    range_width: int = -1
+    find_features: bool = True
+    serialize_data: bool = True
+    # try_cuda (:52) has no TPU meaning: the accelerator path is default-on.
+
+    # --- additions beyond the reference (documented as such) ---
+    num_features: int = 4000         # ORB::create nfeatures (:545)
+    crop_result: bool = False        # wire in the dangling cropper (SURVEY 3.5)
+    use_sensor_priors: bool = True   # EXIF ImageDescription ingestion (:340-528)
+    checkpoint_dir: str = "."        # where cams.data / indices.data live
+    seed: int = 0                    # RANSAC determinism
+
+    def replace(self, **kw) -> "StitchConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = StitchConfig()

@@ -1,0 +1,46 @@
+"""Stage logging and wall-clock timing.
+
+The reference's observability is `LOG`/`LOGLN` plus `getTickCount()` stage
+timers (`/root/reference/image_stitching/image_stitching.cpp:41-43`,
+`:900-902`, `:995`, `:1025`, `:1067`, `:1227`).  Here: a module logger with
+the same user-visible stage messages, a `stage_timer` context manager that
+calls `jax.block_until_ready` on device outputs for honest timings, and an
+in-memory metrics dict the pipeline returns to callers.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import time
+from typing import Dict, Optional
+
+import jax
+
+logger = logging.getLogger("image_stitching_tpu")
+
+__all__ = ["logger", "stage_timer", "StageTimes"]
+
+StageTimes = Dict[str, float]
+
+
+@contextlib.contextmanager
+def stage_timer(name: str, times: Optional[StageTimes] = None,
+                sync: object = None):
+    """Time a pipeline stage; mirrors the LOGLN("<stage>, time: ...") lines."""
+    start = time.perf_counter()
+    box = {}
+    try:
+        yield box
+    finally:
+        # Block on whatever the stage put in the box (device arrays) so the
+        # timing is honest under JAX's async dispatch.
+        for v in box.values():
+            try:
+                jax.block_until_ready(v)
+            except Exception:
+                pass
+        elapsed = time.perf_counter() - start
+        if times is not None:
+            times[name] = times.get(name, 0.0) + elapsed
+        logger.info("%s, time: %.6g sec", name, elapsed)
