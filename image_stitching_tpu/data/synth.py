@@ -1,0 +1,129 @@
+"""Synthetic panorama captures with ground-truth K/R and EXIF payloads.
+
+The reference's only dataset (`samples/samples.zip`) is an unmaterialized
+Git-LFS pointer (SURVEY.md section 0), so reproducible tests and benchmarks
+render their own captures: a procedural spherical environment texture is
+sampled through known camera intrinsics/rotations (the same ray model the
+warpers use), optionally written as JPEGs carrying the reference's EXIF
+ImageDescription payload so the full ingestion path
+(`image_stitching.cpp:340-528`) is exercised.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core import exif as exif_mod
+from ..core import image_io
+from ..core.rig import CaptureRig, DEFAULT_RIG
+from ..geometry.euler import euler_to_rotation_matrix
+from ..geometry.euler_order import EulerOrder
+
+__all__ = ["sphere_texture_rgb", "render_view", "make_ring_captures",
+           "write_capture_dir"]
+
+
+def sphere_texture_rgb(lon: np.ndarray, lat: np.ndarray,
+                       seed: int = 7) -> np.ndarray:
+    """Smooth, feature-rich procedural texture on the sphere.
+
+    Sum of random spherical harmonics-ish trig products per channel plus
+    high-frequency detail so ORB/SIFT find corners everywhere.
+    """
+    rng = np.random.default_rng(seed)
+    out = np.zeros(lon.shape + (3,), np.float32)
+    for c in range(3):
+        acc = np.zeros_like(lon, np.float32)
+        for _ in range(8):
+            fl = rng.integers(1, 9)
+            fm = rng.integers(1, 9)
+            ph1, ph2 = rng.uniform(0, 2 * np.pi, 2)
+            acc += rng.uniform(0.3, 1.0) * np.sin(fl * lon + ph1) * \
+                np.cos(fm * lat + ph2)
+        acc = (acc - acc.min()) / max(acc.max() - acc.min(), 1e-6)
+        out[..., c] = acc
+    # Corner-rich structure: sharp-edged random lon/lat rectangles (FAST
+    # needs strong intensity steps, not smooth gradients).
+    for _ in range(220):
+        lo = rng.uniform(-np.pi, np.pi)
+        la = rng.uniform(-1.35, 1.15)
+        dlo = rng.uniform(0.04, 0.35)
+        dla = rng.uniform(0.04, 0.25)
+        dlon = np.mod(lon - lo + np.pi, 2 * np.pi) - np.pi
+        box = (dlon >= 0) & (dlon < dlo) & (lat >= la) & (lat < la + dla)
+        color = rng.uniform(-0.9, 0.9, 3).astype(np.float32)
+        out[box] += color
+    out = np.clip(out, 0.0, 1.0)
+    return (out * 255.0).astype(np.float32)
+
+
+def render_view(k: np.ndarray, r: np.ndarray, hw: Tuple[int, int],
+                seed: int = 7) -> np.ndarray:
+    """Render the sphere texture seen by a camera: ray = R K^-1 p."""
+    h, w = hw
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64) + 0.0
+    pts = np.stack([xs, ys, np.ones_like(xs)], -1)
+    rk = np.asarray(r, np.float64) @ np.linalg.inv(np.asarray(k, np.float64))
+    rays = pts @ rk.T
+    norm = np.linalg.norm(rays, axis=-1)
+    lon = np.arctan2(rays[..., 0], rays[..., 2])
+    lat = np.arcsin(np.clip(rays[..., 1] / np.maximum(norm, 1e-12), -1, 1))
+    return sphere_texture_rgb(lon.astype(np.float32),
+                              lat.astype(np.float32), seed)
+
+
+def make_ring_captures(n_images: int = 4, hw: Tuple[int, int] = (240, 320),
+                       fov_deg: float = 55.0, pitch_deg: float = 0.0,
+                       overlap_ratio: float = 0.45, seed: int = 7,
+                       rng_noise: float = 0.0):
+    """A single-ring horizontal panorama: returns (images, K, Rs).
+
+    Consecutive yaw step = fov * (1 - overlap_ratio) so neighbors overlap.
+    """
+    h, w = hw
+    focal = (w / 2.0) / math.tan(math.radians(fov_deg) / 2.0)
+    k = np.array([[focal, 0, w / 2.0], [0, focal, h / 2.0], [0, 0, 1]],
+                 np.float64)
+    step = math.radians(fov_deg) * (1.0 - overlap_ratio)
+    rng = np.random.default_rng(seed)
+    images, rs = [], []
+    for i in range(n_images):
+        yaw = i * step
+        jitter = rng.normal(0, rng_noise, 3) if rng_noise else np.zeros(3)
+        eul = np.array([math.radians(pitch_deg) + jitter[0],
+                        yaw + jitter[1], jitter[2]], np.float32)
+        r = np.asarray(euler_to_rotation_matrix(eul, EulerOrder.YXZ),
+                       np.float64)
+        images.append(render_view(k, r, hw, seed))
+        rs.append(r.astype(np.float32))
+    return images, k.astype(np.float32), np.stack(rs)
+
+
+def write_capture_dir(directory: str, images: Sequence[np.ndarray],
+                      k: np.ndarray, rs: np.ndarray,
+                      with_exif: bool = True) -> List[str]:
+    """Write numbered JPEGs (+EXIF pose payloads) the pipeline can ingest.
+
+    The reference rotates landscape captures 180 degrees on load
+    (`image_stitching.cpp:576-580`), so frames are pre-rotated 180 here;
+    `orient_capture` then restores the rendered view exactly.
+    """
+    os.makedirs(directory, exist_ok=True)
+    paths = []
+    for i, img in enumerate(images):
+        path = os.path.join(directory, f"{i}.jpg")
+        stored = image_io.rotate_180(np.clip(img, 0, 255).astype(np.uint8))
+        if with_exif:
+            payload = exif_mod.camera_to_image_description(
+                focal=float(k[1, 1]), ppx=float(k[0, 2]),
+                ppy=float(k[1, 2]), R=rs[i], is_portrait=False)
+            image_io.write_jpeg_with_description(path, stored, payload,
+                                                 quality=97)
+        else:
+            image_io.imwrite(path, stored, quality=97)
+        paths.append(path)
+    return paths

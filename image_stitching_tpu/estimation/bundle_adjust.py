@@ -1,0 +1,235 @@
+"""Bundle adjustment: Levenberg-Marquardt over camera parameters.
+
+Replaces cv::detail::BundleAdjuster{Reproj,Ray} and NoBundleAdjuster as
+configured at `/root/reference/image_stitching/image_stitching.cpp:680-713`:
+
+  * parameterization: 7 values per camera — focal, ppx, ppy, aspect and a
+    Rodrigues rotation (rotations are ALWAYS refined; the intrinsics are
+    gated by the 5-char refine mask exactly as built at `:695-706`:
+    mask[0]->focal (0,0), mask[2]->ppx (0,2), mask[3]->aspect (1,1),
+    mask[4]->ppy (1,2); mask[1] is the K skew slot, unused by these BAs).
+    The reference default ``"_____"`` therefore refines *rotations only*,
+    seeded from the EXIF sensor priors.
+  * residuals: 'reproj' — pixel transfer error through
+    H_ij = K_j R_j^T R_i K_i^-1 over RANSAC-inlier correspondences of every
+    pair with confidence > conf_thresh; 'ray' — angular distance between
+    the back-projected unit rays scaled by sqrt(f_i f_j).
+  * TPU-first solve: correspondences are packed host-side once into static
+    arrays; every LM iteration is ONE jitted computation — per-
+    correspondence (2 x 14) Jacobians via jacfwd under vmap, scatter-added
+    into the (7N, 7N) normal equations, Jacobi-preconditioned damped solve.
+
+The failure mode parity: if the solve produces non-finite parameters we
+raise, mirroring "Camera parameters adjusting failed." (`:709-713`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.camera import Cameras, make_k
+from ..geometry.rotation import matrix_to_rodrigues, rodrigues_to_matrix
+
+__all__ = ["bundle_adjust", "pack_correspondences", "BAProblem"]
+
+
+@dataclasses.dataclass
+class BAProblem:
+    """Packed static-shape correspondence table."""
+    cam_i: np.ndarray   # (Q,) int32
+    cam_j: np.ndarray   # (Q,) int32
+    p_i: np.ndarray     # (Q, 2) float32
+    p_j: np.ndarray     # (Q, 2) float32
+    w: np.ndarray       # (Q,) float32 weights (0 = padding)
+
+
+def pack_correspondences(feats, pair_matches, conf_thresh: float,
+                         max_per_edge: int = 256,
+                         seed: int = 0) -> Optional[BAProblem]:
+    """Host-side: gather inlier correspondences of confident pairs into a
+    fixed-size table (the BA edge set, cf. BundleAdjusterBase::estimate's
+    edges from conf > conf_thresh)."""
+    conf = np.asarray(pair_matches.confidence)
+    n = conf.shape[0]
+    a_idx = np.asarray(pair_matches.a_idx)
+    b_idx = np.asarray(pair_matches.b_idx)
+    inlier = np.asarray(pair_matches.inlier)
+    xy = np.asarray(feats.xy)
+    rng = np.random.default_rng(seed)
+
+    cam_i, cam_j, p_i, p_j = [], [], [], []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if conf[i, j] <= conf_thresh:
+                continue
+            rows = np.nonzero(inlier[i, j])[0]
+            if len(rows) == 0:
+                continue
+            if len(rows) > max_per_edge:
+                rows = rng.choice(rows, max_per_edge, replace=False)
+            cam_i.append(np.full(len(rows), i, np.int32))
+            cam_j.append(np.full(len(rows), j, np.int32))
+            p_i.append(xy[i][a_idx[i, j][rows]])
+            p_j.append(xy[j][b_idx[i, j][rows]])
+    if not cam_i:
+        return None
+    return BAProblem(
+        cam_i=np.concatenate(cam_i),
+        cam_j=np.concatenate(cam_j),
+        p_i=np.concatenate(p_i).astype(np.float32),
+        p_j=np.concatenate(p_j).astype(np.float32),
+        w=np.ones(sum(len(c) for c in cam_i), np.float32),
+    )
+
+
+def _params_from_cameras(cams: Cameras) -> jnp.ndarray:
+    rvec = matrix_to_rodrigues(jnp.asarray(cams.R, jnp.float32))
+    return jnp.concatenate([
+        jnp.asarray(cams.focal, jnp.float32)[:, None],
+        jnp.asarray(cams.ppx, jnp.float32)[:, None],
+        jnp.asarray(cams.ppy, jnp.float32)[:, None],
+        jnp.asarray(cams.aspect, jnp.float32)[:, None],
+        rvec,
+    ], axis=1)  # (N, 7)
+
+
+def _cameras_from_params(params: jnp.ndarray, template: Cameras) -> Cameras:
+    return Cameras(
+        focal=params[:, 0], ppx=params[:, 1], ppy=params[:, 2],
+        aspect=params[:, 3], R=rodrigues_to_matrix(params[:, 4:7]),
+        t=jnp.asarray(template.t))
+
+
+def _residual_one(pi, pj, cam_a, cam_b, cost: str):
+    """Residual for one correspondence given the two cameras' 7-params."""
+    fa, pxa, pya, aa = cam_a[0], cam_a[1], cam_a[2], cam_a[3]
+    fb, pxb, pyb, ab = cam_b[0], cam_b[1], cam_b[2], cam_b[3]
+    ra = rodrigues_to_matrix(cam_a[4:7])
+    rb = rodrigues_to_matrix(cam_b[4:7])
+    ka = make_k(fa, aa, pxa, pya)
+    # Unit ray of p_i in the panorama frame: R_a K_a^-1 p.
+    pa = jnp.array([pi[0], pi[1], 1.0])
+    ray = ra @ jnp.linalg.solve(ka, pa)
+    if cost == "ray":
+        kb = make_k(fb, ab, pxb, pyb)
+        pb = jnp.array([pj[0], pj[1], 1.0])
+        ray2 = rb @ jnp.linalg.solve(kb, pb)
+        d1 = ray / jnp.maximum(jnp.linalg.norm(ray), 1e-12)
+        d2 = ray2 / jnp.maximum(jnp.linalg.norm(ray2), 1e-12)
+        mult = jnp.sqrt(jnp.abs(fa * fb))
+        return mult * (d1 - d2)
+    # reproj: project into camera b.
+    kb = make_k(fb, ab, pxb, pyb)
+    q = kb @ (rb.T @ ray)
+    qz = jnp.where(jnp.abs(q[2]) < 1e-12, 1e-12, q[2])
+    return jnp.array([pj[0] - q[0] / qz, pj[1] - q[1] / qz])
+
+
+@functools.partial(jax.jit, static_argnames=("cost", "n_cams"))
+def _lm_normal_eqs(params, cam_i, cam_j, p_i, p_j, w, free_mask, *,
+                   cost: str, n_cams: int):
+    """One pass: residuals + scatter-accumulated J^T J and J^T r."""
+    def corr_fn(pvec14, pi, pj):
+        return _residual_one(pi, pj, pvec14[:7], pvec14[7:], cost)
+
+    def per_corr(ci, cj, pi, pj, wi):
+        pvec = jnp.concatenate([params[ci], params[cj]])
+        r = corr_fn(pvec, pi, pj)
+        jac = jax.jacfwd(corr_fn)(pvec, pi, pj)   # (rdim, 14)
+        return r * wi, jac * wi
+
+    res, jacs = jax.vmap(per_corr)(cam_i, cam_j, p_i, p_j, w)
+    # Parameter indices per correspondence: (Q, 14).
+    seven = jnp.arange(7, dtype=jnp.int32)
+    idx = jnp.concatenate([cam_i[:, None] * 7 + seven[None],
+                           cam_j[:, None] * 7 + seven[None]], axis=1)
+    p_total = n_cams * 7
+    jtj_blocks = jnp.einsum("qri,qrj->qij", jacs, jacs)   # (Q, 14, 14)
+    jtr_blocks = jnp.einsum("qri,qr->qi", jacs, res)      # (Q, 14)
+    jtj = jnp.zeros((p_total, p_total), jnp.float32)
+    jtj = jtj.at[idx[:, :, None], idx[:, None, :]].add(jtj_blocks)
+    jtr = jnp.zeros((p_total,), jnp.float32)
+    jtr = jtr.at[idx].add(jtr_blocks)
+    # Freeze masked params.
+    jtj = jnp.where(free_mask[:, None] & free_mask[None, :], jtj, 0.0)
+    jtj = jtj + jnp.diag(jnp.where(free_mask, 0.0, 1.0))
+    jtr = jnp.where(free_mask, jtr, 0.0)
+    cost_val = jnp.sum(res * res)
+    return cost_val, jtj, jtr
+
+
+@functools.partial(jax.jit, static_argnames=("cost",))
+def _eval_cost(params, cam_i, cam_j, p_i, p_j, w, *, cost: str):
+    def per_corr(ci, cj, pi, pj, wi):
+        pvec = jnp.concatenate([params[ci], params[cj]])
+        return _residual_one(pi, pj, pvec[:7], pvec[7:], cost) * wi
+    res = jax.vmap(per_corr)(cam_i, cam_j, p_i, p_j, w)
+    return jnp.sum(res * res)
+
+
+def _free_mask(n_cams: int, refine_mask: str) -> np.ndarray:
+    per_cam = np.zeros(7, bool)
+    m = (refine_mask + "_____")[:5]
+    per_cam[0] = m[0] == "x"   # focal    (0,0)
+    per_cam[1] = m[2] == "x"   # ppx      (0,2)
+    per_cam[2] = m[4] == "x"   # ppy      (1,2)
+    per_cam[3] = m[3] == "x"   # aspect   (1,1)
+    per_cam[4:7] = True        # rotation always refined
+    return np.tile(per_cam, n_cams)
+
+
+def bundle_adjust(cams: Cameras, problem: Optional[BAProblem],
+                  cost_func: str = "reproj", refine_mask: str = "_____",
+                  max_iters: int = 25) -> Cameras:
+    """LM-refine cameras.  cost_func in {'reproj', 'ray', 'no'}.
+
+    Unknown cost funcs raise (parity with `:689-693`); 'no' or an empty
+    problem returns the seed cameras unchanged (NoBundleAdjuster)."""
+    if cost_func == "no" or problem is None:
+        return cams
+    if cost_func not in ("reproj", "ray"):
+        raise ValueError(
+            f"Unknown bundle adjustment cost function: '{cost_func}'")
+
+    n = len(cams)
+    params = _params_from_cameras(cams)
+    free = jnp.asarray(_free_mask(n, refine_mask))
+    args = (jnp.asarray(problem.cam_i), jnp.asarray(problem.cam_j),
+            jnp.asarray(problem.p_i), jnp.asarray(problem.p_j),
+            jnp.asarray(problem.w))
+
+    lam = 1e-3
+    cost_val, jtj, jtr = _lm_normal_eqs(params, *args, free, cost=cost_func,
+                                        n_cams=n)
+    cost_val = float(cost_val)
+    for _ in range(max_iters):
+        diag = jnp.diag(jtj)
+        precond = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-8))
+        a = jtj * precond[:, None] * precond[None, :]
+        a = a + lam * jnp.eye(a.shape[0])
+        step = precond * jnp.linalg.solve(a, precond * jtr)
+        new_params = params - step.reshape(n, 7)
+        new_cost = float(_eval_cost(new_params, *args, cost=cost_func))
+        if np.isfinite(new_cost) and new_cost < cost_val:
+            params = new_params
+            improved = cost_val - new_cost
+            cost_val = new_cost
+            lam = max(lam * 0.3, 1e-7)
+            cost_val_, jtj, jtr = _lm_normal_eqs(params, *args, free,
+                                                 cost=cost_func, n_cams=n)
+            if improved < 1e-9 * (1.0 + cost_val):
+                break
+        else:
+            lam *= 10.0
+            if lam > 1e6:
+                break
+
+    if not np.all(np.isfinite(np.asarray(params))):
+        raise RuntimeError("Camera parameters adjusting failed.")
+    return _cameras_from_params(params, cams)

@@ -1,0 +1,3 @@
+"""Jitted compute ops: image processing, features, matching, warps."""
+
+from . import imgproc, warps, ransac, matching

@@ -96,22 +96,17 @@ def gaussian_kernel1d(sigma: float, radius: int) -> np.ndarray:
 def gaussian_blur(img: jnp.ndarray, sigma: float = 2.0,
                   radius: int = 3) -> jnp.ndarray:
     """Separable Gaussian blur with reflect-101 borders (OpenCV default)."""
-    k = jnp.asarray(gaussian_kernel1d(sigma, radius))
+    k = gaussian_kernel1d(sigma, radius)
     x = img.astype(jnp.float32)
     squeeze = x.ndim == 2
     if squeeze:
         x = x[..., None]
-    pad = [(radius, radius), (0, 0), (0, 0)]
-    xp = jnp.pad(x, pad, mode="reflect")
-    x = jnp.einsum("t,thwc->hwc",
-                   k, jnp.stack([xp[i:i + x.shape[0]] for i in
-                                 range(2 * radius + 1)]))
-    pad = [(0, 0), (radius, radius), (0, 0)]
-    xp = jnp.pad(x, pad, mode="reflect")
-    x = jnp.einsum("t,htwc->hwc",
-                   k, jnp.stack([xp[:, i:i + x.shape[1]] for i in
-                                 range(2 * radius + 1)], axis=1).transpose(
-                       1, 0, 2, 3))
+    xp = jnp.pad(x, [(radius, radius), (0, 0), (0, 0)], mode="reflect")
+    x = sum(float(k[i]) * xp[i:i + x.shape[0]]
+            for i in range(2 * radius + 1))
+    xp = jnp.pad(x, [(0, 0), (radius, radius), (0, 0)], mode="reflect")
+    x = sum(float(k[i]) * xp[:, i:i + x.shape[1]]
+            for i in range(2 * radius + 1))
     return x[..., 0] if squeeze else x
 
 

@@ -91,9 +91,20 @@ def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
     return (pa[:, None] + pb[None, :] - 2.0 * common).astype(jnp.int32)
 
 
+def l2_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
+    """(Ka, D) x (Kb, D) float -> (Ka, Kb) L2 distances (SIFT/SURF path)."""
+    a = desc_a.astype(jnp.float32)
+    b = desc_b.astype(jnp.float32)
+    dots = jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    na = jnp.sum(a * a, axis=1)
+    nb = jnp.sum(b * b, axis=1)
+    return jnp.sqrt(jnp.maximum(na[:, None] + nb[None, :] - 2 * dots, 0.0))
+
+
 def _two_nn(dist: jnp.ndarray, valid_b: jnp.ndarray):
     """Per row: indices+distances of the 2 nearest valid columns."""
-    masked = jnp.where(valid_b[None, :], dist, jnp.int32(2 ** 30))
+    masked = jnp.where(valid_b[None, :], dist, jnp.float32(2 ** 30))
     neg_top, idx = jax.lax.top_k(-masked, 2)
     return idx[:, 0], -neg_top[:, 0], idx[:, 1], -neg_top[:, 1]
 
@@ -106,7 +117,10 @@ def match_pair(feat_a: Features, feat_b: Features, key: jnp.ndarray,
 
     Returns 2K match slots (K forward + K reverse, masked).
     """
-    dist = hamming_matrix(feat_a.desc, feat_b.desc).astype(jnp.float32)
+    if jnp.issubdtype(feat_a.desc.dtype, jnp.floating):
+        dist = l2_matrix(feat_a.desc, feat_b.desc)
+    else:
+        dist = hamming_matrix(feat_a.desc, feat_b.desc).astype(jnp.float32)
     ka = feat_a.max_features
     kb = feat_b.max_features
 

@@ -1,0 +1,5 @@
+"""Distributed/parallel layer: meshes, batched throughput, canvas sharding."""
+
+from .mesh import make_mesh, Mesh, NamedSharding, P
+from .batched import make_batched_register, register_pairs_batched
+from .canvas import make_sharded_composite

@@ -1,0 +1,3 @@
+"""Pipeline orchestration (the reference's main() as a library)."""
+
+from .stitcher import stitch, StitchResult

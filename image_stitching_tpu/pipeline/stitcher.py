@@ -1,0 +1,391 @@
+"""End-to-end stitching pipeline: the reference's `main()` as a library.
+
+Stage-for-stage port of the orchestration (NOT the algorithms — those are
+the TPU-native ops) at `/root/reference/image_stitching/image_stitching.cpp:281-1232`:
+
+  ingest+priors (:306-528) -> features (:542-622) -> match (:642-655) ->
+  biggest component (:661) -> bundle adjust (:680-716) -> checkpoint
+  (:714-720) -> wave correct (:721-729) -> median focal (:884-895) ->
+  seam-scale warp (:975-989) -> exposure feed (:1002-1023) -> seam find
+  (:1032-1065) -> compose-scale warp + exposure apply + mask merge +
+  blend (:1086-1225) -> result [-> optional crop: the reference's dangling
+  cropper API, wired behind config.crop_result].
+
+The work/seam/compose three-scale scheme and every default match the
+reference's config block (:50-85).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import BlenderType, StitchConfig, TimelapserType
+from ..core import exif as exif_mod
+from ..core import image_io, persistence
+from ..core.logging import logger, stage_timer
+from ..estimation import (biggest_component, bundle_adjust,
+                          homography_based_estimate, pack_correspondences,
+                          wave_correct)
+from ..geometry.camera import Cameras
+from ..ops import exposure as exposure_mod
+from ..ops import seams as seams_mod
+from ..ops.blend import make_blender
+from ..ops.crop import crop as crop_fn
+from ..ops.features import Features, orb_detect_and_describe
+from ..ops.features.sift import sift_detect_and_describe
+from ..ops.imgproc import dilate3, resize, rgb_to_gray, scale_size
+from ..ops.matching import match_all_pairs
+from ..ops.timelapse import Timelapser, fixed_name
+from ..ops.warps import make_warper
+
+__all__ = ["stitch", "StitchResult", "detect_features"]
+
+
+@dataclasses.dataclass
+class StitchResult:
+    panorama: np.ndarray                 # float32 HWC RGB
+    mask: np.ndarray                     # bool HW
+    kept_indices: List[int]
+    cameras: Cameras
+    stage_times: Dict[str, float]
+    timelapse_frames: List[str] = dataclasses.field(default_factory=list)
+
+
+def detect_features(gray, cfg: StitchConfig) -> Features:
+    """Feature-family dispatch (`image_stitching.cpp:542-565`); unknown
+    types raise with the reference's message."""
+    if cfg.features_type == "orb":
+        return orb_detect_and_describe(gray, n_features=cfg.num_features)
+    if cfg.features_type == "sift":
+        return sift_detect_and_describe(gray, n_features=cfg.num_features)
+    if cfg.features_type in ("akaze", "surf"):
+        from ..ops.features.akaze import akaze_detect_and_describe
+        from ..ops.features.surf import surf_detect_and_describe
+        fn = (akaze_detect_and_describe if cfg.features_type == "akaze"
+              else surf_detect_and_describe)
+        return fn(gray, n_features=cfg.num_features)
+    raise ValueError(f"Unknown 2D features type: '{cfg.features_type}'.")
+
+
+def _load_priors(paths: Sequence[str]):
+    """EXIF ingestion loop (`:340-528`).  Returns (cameras | None,
+    is_portrait).  is_portrait is the reference's sticky last-image global
+    (`:526`)."""
+    cams = []
+    is_portrait = False
+    any_prior = False
+    for p in paths:
+        desc = exif_mod.read_image_description(p)
+        if desc is None:
+            cams.append(None)
+            continue
+        try:
+            prior = exif_mod.parse_image_description(desc)
+        except (ValueError, IndexError):
+            cams.append(None)
+            continue
+        any_prior = True
+        is_portrait = prior.is_portrait
+        cams.append(exif_mod.sensor_prior_to_camera(prior))
+    if not any_prior:
+        return None, False
+    # Fill missing priors with identity (reference would produce default
+    # CameraParams for EXIF-less images).
+    focal, aspect, ppx, ppy, rs, ts = [], [], [], [], [], []
+    for c in cams:
+        if c is None:
+            focal.append(1.0)
+            aspect.append(1.0)
+            ppx.append(0.0)
+            ppy.append(0.0)
+            rs.append(np.eye(3, dtype=np.float32))
+            ts.append(np.zeros(3, np.float32))
+        else:
+            f, a, px, py, r, t = c
+            focal.append(f)
+            aspect.append(a)
+            ppx.append(px)
+            ppy.append(py)
+            rs.append(r)
+            ts.append(t)
+    return Cameras(
+        focal=np.asarray(focal, np.float32),
+        aspect=np.asarray(aspect, np.float32),
+        ppx=np.asarray(ppx, np.float32),
+        ppy=np.asarray(ppy, np.float32),
+        R=np.stack(rs), t=np.stack(ts)), is_portrait
+
+
+def _median_focal(focals: np.ndarray) -> float:
+    """`:884-895`: sorted middle (odd) / mean of middle two (even)."""
+    f = np.sort(np.asarray(focals, np.float64))
+    n = len(f)
+    if n % 2 == 1:
+        return float(f[n // 2])
+    return float(f[n // 2 - 1] + f[n // 2]) * 0.5
+
+
+def stitch(source, cfg: StitchConfig = StitchConfig(),
+           output: Optional[str] = None) -> StitchResult:
+    """Stitch a directory path or a list of image paths.
+
+    Writes `cfg.result_name` (or `output`) like the reference when `output`
+    is not explicitly disabled with output="".
+    """
+    times: Dict[str, float] = {}
+    if isinstance(source, str):
+        paths = image_io.list_images(source)
+    else:
+        paths = list(source)
+    if len(paths) < 2:
+        raise ValueError("Need at least two images to stitch")
+
+    # ---- ingestion + sensor priors (:306-528) ----
+    with stage_timer("Reading images and priors", times):
+        if cfg.use_sensor_priors:
+            priors, is_portrait = _load_priors(paths)
+        else:
+            priors, is_portrait = None, False
+        full_imgs = [image_io.orient_capture(image_io.imread(p), is_portrait)
+                     for p in paths]
+    full_sizes = [(im.shape[1], im.shape[0]) for im in full_imgs]  # (w, h)
+
+    # ---- scales (:589-609) ----
+    area0 = full_sizes[0][0] * full_sizes[0][1]
+    work_scale = 1.0 if cfg.work_megapix < 0 else min(
+        1.0, float(np.sqrt(cfg.work_megapix * 1e6 / area0)))
+    seam_scale = min(1.0, float(np.sqrt(cfg.seam_megapix * 1e6 / area0)))
+    seam_work_aspect = seam_scale / work_scale
+
+    n = len(paths)
+    seam_imgs = []
+    feats: List[Features] = []
+    with stage_timer("Finding features", times):
+        for im in full_imgs:
+            imj = jnp.asarray(im)
+            if work_scale != 1.0:
+                work_img = resize(imj, scale_size(im.shape[0], im.shape[1],
+                                                  work_scale))
+            else:
+                work_img = imj.astype(jnp.float32)
+            if cfg.find_features and cfg.serialize_data:
+                f = detect_features(rgb_to_gray(work_img), cfg)
+                feats.append(f)
+                logger.info("Features in image #%d: %d", len(feats),
+                            int(f.count()))
+            seam_imgs.append(np.asarray(resize(
+                imj, scale_size(im.shape[0], im.shape[1], seam_scale))))
+
+    # ---- scale priors by work_scale (:626-638) ----
+    if priors is not None:
+        cameras_all = priors.scaled(work_scale)
+    else:
+        cameras_all = None
+
+    indices = list(range(n))
+    cameras: Optional[Cameras] = None
+    if cfg.find_features:
+        if cfg.serialize_data:
+            with stage_timer("Pairwise matching", times):
+                fstack = Features.stack(feats)
+                pm = match_all_pairs(
+                    fstack, jax.random.PRNGKey(cfg.seed),
+                    match_conf=cfg.match_conf, matcher_type=cfg.matcher_type,
+                    range_width=cfg.range_width)
+                pm = jax.tree.map(np.asarray, pm)
+            indices, removed = biggest_component(pm.confidence,
+                                                 cfg.conf_thresh)
+            if removed:
+                logger.info(
+                    "Removed some images, because can't match them or there "
+                    "are too similar images: (%s).",
+                    ", ".join(str(i + 1) for i in removed))
+                logger.info("Try to decrease the match confidence threshold "
+                            "and/or check if you're stitching duplicates.")
+            if len(indices) < 2:
+                raise RuntimeError(
+                    "Need more images: all but one were removed as "
+                    "unmatchable")
+        else:
+            indices = persistence.deserialize_indices(cfg.checkpoint_dir)
+
+        if cfg.serialize_data:
+            # Seed cameras: sensor priors when present, else homography
+            # bootstrap (the reference's dead-path estimator capability).
+            if cameras_all is not None:
+                seed_cams = cameras_all[np.asarray(indices)]
+            else:
+                sub = np.ix_(indices, indices)
+                pm_sub = jax.tree.map(
+                    lambda x: x[sub] if x.ndim >= 2 and
+                    x.shape[:2] == (n, n) else x, pm)
+                sizes_sub = [
+                    scale_size(full_sizes[i][1], full_sizes[i][0],
+                               work_scale) for i in indices]
+                seed_cams = homography_based_estimate(
+                    pm_sub, sizes_sub, cfg.conf_thresh)
+            with stage_timer("Bundle adjustment", times):
+                sub = np.ix_(indices, indices)
+                pm_sub = jax.tree.map(
+                    lambda x: x[sub] if x.ndim >= 2 and
+                    x.shape[:2] == (n, n) else x, pm)
+                f_sub = jax.tree.map(
+                    lambda x: x[np.asarray(indices)], Features.stack(feats))
+                problem = pack_correspondences(f_sub, pm_sub,
+                                               cfg.conf_thresh)
+                cameras = bundle_adjust(seed_cams, problem,
+                                        cost_func=cfg.ba_cost_func,
+                                        refine_mask=cfg.ba_refine_mask)
+            persistence.serialize_camera_params(cameras, cfg.checkpoint_dir)
+            persistence.serialize_indices(indices, cfg.checkpoint_dir)
+        else:
+            cameras = persistence.deserialize_camera_params(
+                cfg.checkpoint_dir)
+    else:
+        cameras = (cameras_all if cameras_all is not None
+                   else Cameras.identity(n, float(np.mean(
+                       [s[0] for s in full_sizes]))))
+        cameras = cameras[np.asarray(indices)]
+
+    # ---- wave correction (:721-729) ----
+    if cfg.do_wave_correct:
+        cameras = dataclasses.replace(
+            cameras, R=np.asarray(wave_correct(np.asarray(cameras.R),
+                                               cfg.wave_correct)))
+
+    paths = [paths[i] for i in indices]
+    full_imgs = [full_imgs[i] for i in indices]
+    full_sizes = [full_sizes[i] for i in indices]
+    seam_imgs = [seam_imgs[i] for i in indices]
+    n = len(paths)
+
+    # ---- seam-scale warping (:884-995) ----
+    warped_image_scale = _median_focal(np.asarray(cameras.focal))
+    with stage_timer("Warping images", times):
+        swa = seam_work_aspect
+        warper = make_warper(cfg.warp_type, warped_image_scale * swa)
+        k_all = np.asarray(cameras.K(), np.float32)
+        k_seam = k_all.copy()
+        k_seam[:, 0, :] *= swa
+        k_seam[:, 1, :] *= swa
+        corners, sizes = [], []
+        images_warped, masks_warped = [], []
+        r_all = np.asarray(cameras.R, np.float32)
+        for i in range(n):
+            corner, img_w = warper.warp(jnp.asarray(seam_imgs[i]),
+                                        k_seam[i], r_all[i])
+            mask = np.full(seam_imgs[i].shape[:2], 255, np.uint8)
+            _, mask_w = warper.warp(jnp.asarray(mask), k_seam[i], r_all[i],
+                                    interp="nearest", border="constant")
+            corners.append(corner)
+            sizes.append((img_w.shape[1], img_w.shape[0]))
+            images_warped.append(np.asarray(img_w))
+            masks_warped.append(np.asarray(mask_w).astype(np.uint8))
+
+    # ---- exposure compensation (:997-1025) ----
+    with stage_timer("Compensating exposure", times):
+        compensator = exposure_mod.feed(
+            corners, images_warped, masks_warped,
+            comp_type=cfg.expos_comp_type,
+            nr_feeds=cfg.expos_comp_nr_feeds,
+            nr_filtering=cfg.expos_comp_nr_filtering,
+            block_size=cfg.expos_comp_block_size)
+
+    # ---- seam finding (:1027-1067) ----
+    with stage_timer("Finding seams", times):
+        seam_masks = seams_mod.find_seams(
+            images_warped, corners, masks_warped, cfg.seam_find_type)
+
+    # ---- compositing (:1075-1229) ----
+    timelapse_frames: List[str] = []
+    with stage_timer("Compositing", times):
+        compose_scale = 1.0
+        if cfg.compose_megapix > 0:
+            compose_scale = min(1.0, float(
+                np.sqrt(cfg.compose_megapix * 1e6 / area0)))
+        compose_work_aspect = compose_scale / work_scale
+        warped_image_scale *= compose_work_aspect
+        warper = make_warper(cfg.warp_type, warped_image_scale)
+        cameras_c = cameras.scaled(compose_work_aspect)
+        kc_all = np.asarray(cameras_c.K(), np.float32)
+
+        comp_corners, comp_sizes = [], []
+        for i in range(n):
+            sw, sh = full_sizes[i]
+            if abs(compose_scale - 1) > 1e-1:
+                sw = int(round(sw * compose_scale))
+                sh = int(round(sh * compose_scale))
+            roi = warper.warp_roi((sh, sw), kc_all[i], r_all[i])
+            comp_corners.append((roi[0], roi[1]))
+            comp_sizes.append((roi[2], roi[3]))
+
+        blender = None
+        timelapser = None
+        for i in range(n):
+            logger.info("Compositing image #%d", i + 1)
+            img = jnp.asarray(full_imgs[i])
+            if abs(compose_scale - 1) > 1e-1:
+                img = resize(img, scale_size(img.shape[0], img.shape[1],
+                                             compose_scale))
+            corner, img_w = warper.warp(
+                img, kc_all[i], r_all[i],
+                dst_roi=(comp_corners[i][0], comp_corners[i][1],
+                         comp_sizes[i][0], comp_sizes[i][1]))
+            mask = np.full((img.shape[0], img.shape[1]), 255, np.uint8)
+            _, mask_w = warper.warp(
+                jnp.asarray(mask), kc_all[i], r_all[i], interp="nearest",
+                border="constant",
+                dst_roi=(comp_corners[i][0], comp_corners[i][1],
+                         comp_sizes[i][0], comp_sizes[i][1]))
+
+            img_w = exposure_mod.apply_gain(compensator, i, corner, img_w)
+
+            # dilate seam mask, resize to warped size, AND (:1169-1171).
+            seam_m = dilate3(jnp.asarray(seam_masks[i]))
+            seam_m = resize(seam_m.astype(jnp.float32),
+                            (int(mask_w.shape[0]), int(mask_w.shape[1])))
+            final_mask = (np.asarray(seam_m) > 127) & \
+                (np.asarray(mask_w) > 0)
+
+            if cfg.timelapse:
+                if timelapser is None:
+                    timelapser = Timelapser(comp_corners, comp_sizes,
+                                            cfg.timelapse_type)
+                frame = timelapser.process(img_w, None, corner)
+                out_name = fixed_name(paths[i])
+                image_io.imwrite(out_name, np.asarray(frame))
+                timelapse_frames.append(out_name)
+            else:
+                if blender is None:
+                    blender = make_blender(comp_corners, comp_sizes,
+                                           cfg.blend_type,
+                                           cfg.blend_strength)
+                blender.feed(img_w, jnp.asarray(final_mask), corner)
+
+        if cfg.timelapse:
+            pano = np.zeros((1, 1, 3), np.float32)
+            pano_mask = np.zeros((1, 1), bool)
+        else:
+            pano_j, mask_j = blender.blend()
+            pano = np.clip(np.asarray(pano_j), 0, 255)
+            pano_mask = np.asarray(mask_j)
+
+    if cfg.crop_result and not cfg.timelapse:
+        pano = crop_fn(pano)
+
+    result = StitchResult(
+        panorama=pano, mask=pano_mask, kept_indices=list(indices),
+        cameras=cameras, stage_times=times,
+        timelapse_frames=timelapse_frames)
+
+    if not cfg.timelapse:
+        out = output if output is not None else cfg.result_name
+        if out:
+            image_io.imwrite(out, pano)
+    return result

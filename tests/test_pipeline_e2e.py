@@ -1,0 +1,146 @@
+"""End-to-end pipeline tests on synthetic captures with ground truth.
+
+SURVEY.md section 4(c): synthetic panoramas rendered from a known sphere
+texture with known K/R so geometric error has ground truth.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from image_stitching_tpu.config import StitchConfig
+from image_stitching_tpu.data.synth import (make_ring_captures,
+                                            sphere_texture_rgb,
+                                            write_capture_dir)
+from image_stitching_tpu.pipeline.stitcher import stitch
+
+HW = (160, 224)
+N_IMAGES = 3
+
+
+@pytest.fixture(scope="module")
+def capture_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("captures")
+    images, k, rs = make_ring_captures(
+        n_images=N_IMAGES, hw=HW, fov_deg=55, overlap_ratio=0.55)
+    write_capture_dir(str(d), images, k, rs)
+    return str(d), images, k, rs
+
+
+def small_cfg(**kw):
+    base = dict(num_features=400, compose_megapix=-1, seam_megapix=0.02,
+                checkpoint_dir=".")
+    base.update(kw)
+    return StitchConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def stitched(capture_dir, tmp_path_factory):
+    d, images, k, rs = capture_dir
+    run_dir = tmp_path_factory.mktemp("run")
+    os.chdir(run_dir)
+    cfg = small_cfg(checkpoint_dir=str(run_dir))
+    res = stitch(d, cfg, output=str(run_dir / "result.jpg"))
+    return res, (d, images, k, rs), run_dir
+
+
+def test_all_images_kept_and_written(stitched):
+    res, (d, images, k, rs), run_dir = stitched
+    assert res.kept_indices == list(range(N_IMAGES))
+    assert (run_dir / "result.jpg").exists()
+    assert (run_dir / "cams.data").exists()
+    assert (run_dir / "indices.data").exists()
+    assert res.mask.mean() > 0.9
+    # Panorama must be wider than a single image (a real panorama).
+    assert res.panorama.shape[1] > HW[1] * 1.5
+
+
+def test_rotation_accuracy_vs_ground_truth(stitched):
+    res, (d, images, k, rs), _ = stitched
+    rc = np.asarray(res.cameras.R)
+    for a in range(N_IMAGES - 1):
+        rel_t = rs[a + 1] @ rs[a].T
+        rel_e = rc[a + 1] @ rc[a].T
+        cosang = np.clip((np.trace(rel_e @ rel_t.T) - 1) / 2, -1, 1)
+        assert np.degrees(np.arccos(cosang)) < 0.5
+
+
+def test_pixel_accuracy_vs_ideal_render(stitched):
+    res, (d, images, k, rs), _ = stitched
+    from image_stitching_tpu.ops.warps import make_warper, result_roi
+    focal = float(np.median(np.asarray(res.cameras.focal)))
+    kc = np.asarray(res.cameras.K(), np.float32)
+    rc = np.asarray(res.cameras.R, np.float32)
+    warper = make_warper("spherical", focal)
+    corners, sizes = [], []
+    for i in range(len(res.kept_indices)):
+        roi = warper.warp_roi((HW[0], HW[1]), kc[i], rc[i])
+        corners.append((roi[0], roi[1]))
+        sizes.append((roi[2], roi[3]))
+    cx, cy, _, _ = result_roi(corners, sizes)
+    h, w = res.panorama.shape[:2]
+    uu, vv = np.meshgrid((cx + np.arange(w)) / focal,
+                         (cy + np.arange(h)) / focal)
+    sinv = np.sin(np.pi - vv)
+    lon = np.arctan2(sinv * np.sin(uu), sinv * np.cos(uu))
+    lat = np.arcsin(np.clip(np.cos(np.pi - vv), -1, 1))
+    ideal = sphere_texture_rgb(lon.astype(np.float32),
+                               lat.astype(np.float32))
+    # Wave correct may tilt the global frame slightly; the texture is
+    # smooth at matching scale, so mean error stays low when aligned.
+    diff = np.abs(ideal - res.panorama)[res.mask]
+    assert diff.mean() < 30.0, diff.mean()
+
+
+def test_resume_from_checkpoint(stitched, capture_dir):
+    res, (d, images, k, rs), run_dir = stitched
+    os.chdir(run_dir)
+    cfg = small_cfg(serialize_data=False, checkpoint_dir=str(run_dir))
+    res2 = stitch(d, cfg, output="")
+    assert res2.kept_indices == res.kept_indices
+    assert res2.panorama.shape == res.panorama.shape
+    # cams.data text has 6 significant digits; pixels match closely.
+    valid = res.mask & res2.mask
+    assert np.abs(res2.panorama - res.panorama)[valid].mean() < 2.0
+
+
+def test_no_priors_homography_bootstrap(capture_dir, tmp_path):
+    d, images, k, rs = capture_dir
+    os.chdir(tmp_path)
+    cfg = small_cfg(use_sensor_priors=False, checkpoint_dir=str(tmp_path))
+    res = stitch(d, cfg, output="")
+    assert len(res.kept_indices) == N_IMAGES
+    # Focal estimate within 15% of ground truth.
+    f_true = float(k[0, 0])
+    assert abs(float(np.median(np.asarray(res.cameras.focal))) - f_true) \
+        < 0.15 * f_true
+
+
+def test_timelapse_mode(capture_dir, tmp_path):
+    d, images, k, rs = capture_dir
+    os.chdir(tmp_path)
+    cfg = small_cfg(timelapse=True, checkpoint_dir=str(tmp_path))
+    res = stitch(d, cfg, output="")
+    assert len(res.timelapse_frames) == N_IMAGES
+    for f in res.timelapse_frames:
+        assert os.path.exists(f)
+        assert os.path.basename(f).startswith("fixed_")
+
+
+def test_crop_result(stitched, capture_dir, tmp_path):
+    res, (d, images, k, rs), _ = stitched
+    from image_stitching_tpu.ops.crop import crop, crop_rect
+    # Synthetic: frame the pano with black borders; crop must shrink it.
+    padded = np.pad(res.panorama, [(12, 12), (12, 12), (0, 0)])
+    rect = crop_rect(padded)
+    cropped = crop(padded)
+    assert cropped.shape[0] <= res.panorama.shape[0] + 2
+    assert cropped.shape[1] <= res.panorama.shape[1] + 2
+    assert (np.mean(cropped > 0)) > np.mean(padded > 0)
+
+
+def test_unknown_feature_type(capture_dir):
+    d, *_ = capture_dir
+    with pytest.raises(ValueError, match="Unknown 2D features type"):
+        stitch(d, small_cfg(features_type="huh"), output="")
