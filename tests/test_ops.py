@@ -1,0 +1,234 @@
+"""Unit tests for imgproc, exposure, seams, blend, crop, timelapse ops."""
+
+import cv2
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from image_stitching_tpu.config import (BlenderType,
+                                        ExposureCompensatorType as ECT,
+                                        TimelapserType)
+from image_stitching_tpu.ops import exposure as exposure_mod
+from image_stitching_tpu.ops import seams as seams_mod
+from image_stitching_tpu.ops.blend import (FeatherBlender, MultiBandBlender,
+                                           NoBlender, make_blender,
+                                           num_bands_for, pyr_down, pyr_up)
+from image_stitching_tpu.ops.crop import crop, crop_rect
+from image_stitching_tpu.ops.imgproc import (box_blur, dilate3,
+                                             gaussian_blur, resize,
+                                             rgb_to_gray, scale_size)
+from image_stitching_tpu.ops.timelapse import Timelapser, fixed_name
+
+
+# --------------------------------------------------------------- imgproc ----
+def test_resize_matches_opencv(rng):
+    img = rng.uniform(0, 255, (37, 53, 3)).astype(np.float32)
+    ours = np.asarray(resize(jnp.asarray(img), (61, 91)))
+    ref = cv2.resize(img, (91, 61), interpolation=cv2.INTER_LINEAR)
+    assert np.abs(ours - ref).max() < 1.0
+    down = np.asarray(resize(jnp.asarray(img), (19, 27)))
+    ref = cv2.resize(img, (27, 19), interpolation=cv2.INTER_LINEAR)
+    assert np.abs(down - ref).mean() < 2.0
+
+
+def test_dilate_matches_opencv(rng):
+    m = (rng.uniform(size=(32, 40)) > 0.8).astype(np.uint8) * 255
+    ours = np.asarray(dilate3(jnp.asarray(m)))
+    ref = cv2.dilate(m, None)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_rgb_to_gray_matches_opencv(rng):
+    img = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+    ours = np.asarray(rgb_to_gray(jnp.asarray(img)))
+    ref = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+    assert np.abs(ours - ref).max() <= 1.0
+
+
+def test_pyr_down_up_matches_opencv(rng):
+    img = rng.uniform(0, 255, (64, 96, 3)).astype(np.float32)
+    ours = np.asarray(pyr_down(jnp.asarray(img)))
+    ref = cv2.pyrDown(img)
+    assert ours.shape == ref.shape
+    assert np.abs(ours - ref).mean() < 1.5  # border handling differs
+    up = np.asarray(pyr_up(jnp.asarray(ours), (64, 96)))
+    ref_up = cv2.pyrUp(ref)
+    assert np.abs(up - ref_up).mean() < 3.0
+
+
+def test_scale_size():
+    assert scale_size(100, 200, 0.5) == (50, 100)
+    assert scale_size(3, 3, 0.01) == (1, 1)
+
+
+# -------------------------------------------------------------- exposure ----
+def test_gain_identical_exposure_is_identity(rng):
+    img = rng.uniform(50, 200, (64, 96, 3)).astype(np.float32)
+    img1, img2 = img[:, :64], img[:, 32:]
+    m = np.full((64, 64), 255, np.uint8)
+    for t in (ECT.GAIN, ECT.GAIN_BLOCKS, ECT.CHANNELS, ECT.CHANNELS_BLOCKS):
+        comp = exposure_mod.feed([(0, 0), (32, 0)], [img1, img2], [m, m],
+                                 t, block_size=32)
+        out = np.asarray(exposure_mod.apply_gain(comp, 0, (0, 0), img1))
+        np.testing.assert_allclose(out, img1, rtol=1e-3, atol=0.5)
+
+
+def test_gain_compensates_exposure_difference(rng):
+    img = rng.uniform(50, 200, (64, 96, 3)).astype(np.float32)
+    img1, img2 = img[:, :64], img[:, 32:] * 0.7
+    m = np.full((64, 64), 255, np.uint8)
+    comp = exposure_mod.feed([(0, 0), (32, 0)], [img1, img2], [m, m],
+                             ECT.GAIN)
+    g = np.asarray(comp.gains)
+    assert g[1] > 1.05 and g[0] < 0.95
+    # Compensated overlap means should be closer than uncompensated.
+    o1 = np.asarray(exposure_mod.apply_gain(comp, 0, (0, 0), img1))
+    o2 = np.asarray(exposure_mod.apply_gain(comp, 1, (32, 0), img2))
+    before = abs(img1[:, 32:].mean() - img2[:, :32].mean())
+    after = abs(o1[:, 32:].mean() - o2[:, :32].mean())
+    assert after < before * 0.3
+
+
+def test_exposure_no():
+    img = np.ones((8, 8, 3), np.float32) * 99
+    comp = exposure_mod.feed([(0, 0)], [img], [np.ones((8, 8), np.uint8)],
+                             ECT.NO)
+    out = np.asarray(exposure_mod.apply_gain(comp, 0, (0, 0), img))
+    np.testing.assert_array_equal(out, img)
+
+
+# ----------------------------------------------------------------- seams ----
+def _two_overlapping(rng, dx=24):
+    img1 = rng.uniform(0, 255, (48, 64, 3)).astype(np.float32)
+    img2 = img1.copy()
+    corners = [(0, 0), (dx, 0)]
+    m = np.full((48, 64), 255, np.uint8)
+    return [img1, img2], corners, [m, m.copy()]
+
+
+@pytest.mark.parametrize("stype", ["dp_color", "dp_colorgrad", "voronoi",
+                                   "gc_color"])
+def test_seams_partition_overlap(stype, rng):
+    imgs, corners, masks = _two_overlapping(rng)
+    out = seams_mod.find_seams(imgs, corners, masks, stype)
+    # Overlap x in [24, 64) of img1 == x in [0, 40) of img2: after seam
+    # finding each overlap pixel belongs to exactly one image.
+    o1 = out[0][:, 24:] > 0
+    o2 = out[1][:, :40] > 0
+    assert not (o1 & o2).any()
+    assert (o1 | o2).all()
+    # Non-overlap regions untouched.
+    assert (out[0][:, :24] > 0).all()
+    assert (out[1][:, 40:] > 0).all()
+
+
+def test_seams_no_and_unknown(rng):
+    imgs, corners, masks = _two_overlapping(rng)
+    out = seams_mod.find_seams(imgs, corners, masks, "no")
+    np.testing.assert_array_equal(out[0], masks[0])
+    with pytest.raises(ValueError, match="Can't create"):
+        seams_mod.find_seams(imgs, corners, masks, "bogus")
+
+
+# ----------------------------------------------------------------- blend ----
+def test_num_bands_formula():
+    # canvas 1000x1000, strength 5 -> blend_width = 50 -> bands =
+    # ceil(log2 50) - 1 = 5 (matches image_stitching.cpp:1183).
+    nb, bw = num_bands_for((0, 0, 1000, 1000), 5.0)
+    assert bw == pytest.approx(50.0)
+    assert nb == 5
+    nb, bw = num_bands_for((0, 0, 3, 3), 5.0)
+    assert bw < 1.0
+
+
+@pytest.mark.parametrize("cls", ["multiband", "feather", "no"])
+def test_blender_single_image_roundtrip(cls, rng):
+    img = rng.uniform(10, 245, (64, 96, 3)).astype(np.float32)
+    mask = np.full((64, 96), 255, np.uint8)
+    corners, sizes = [(5, -3)], [(96, 64)]
+    if cls == "multiband":
+        b = MultiBandBlender(corners, sizes, num_bands=3)
+        tol = 1.5
+    elif cls == "feather":
+        b = FeatherBlender(corners, sizes, sharpness=1.0 / 10)
+        tol = 1.0
+    else:
+        b = NoBlender(corners, sizes)
+        tol = 0.0
+    b.feed(jnp.asarray(img), jnp.asarray(mask), (5, -3))
+    out, omask = b.blend()
+    out = np.asarray(out)
+    # Single image: blend must reproduce it (pyramid roundtrip tolerance).
+    assert out.shape[:2] == (64, 96)
+    assert np.abs(out - img).mean() <= tol
+    assert np.asarray(omask).mean() > 0.95
+
+
+def test_multiband_blends_seam_smoothly(rng):
+    # Two constant images (100 and 150) split at x=48: multiband output
+    # must transition smoothly across the seam, not step.
+    h, w = 64, 96
+    img1 = np.full((h, w, 3), 100, np.float32)
+    img2 = np.full((h, w, 3), 150, np.float32)
+    m1 = np.zeros((h, w), np.uint8)
+    m1[:, :48] = 255
+    m2 = np.zeros((h, w), np.uint8)
+    m2[:, 48:] = 255
+    b = MultiBandBlender([(0, 0), (0, 0)], [(w, h), (w, h)], num_bands=3)
+    b.feed(jnp.asarray(img1), jnp.asarray(m1), (0, 0))
+    b.feed(jnp.asarray(img2), jnp.asarray(m2), (0, 0))
+    out, _ = b.blend()
+    row = np.asarray(out)[32, :, 0]
+    assert abs(row[10] - 100) < 3
+    assert abs(row[90] - 150) < 3
+    # Max step between adjacent pixels stays small (smooth transition).
+    assert np.abs(np.diff(row)).max() < 12
+    # Feather and NO for comparison complete without error.
+    fb = make_blender([(0, 0), (0, 0)], [(w, h), (w, h)],
+                      BlenderType.FEATHER)
+    fb.feed(jnp.asarray(img1), jnp.asarray(m1), (0, 0))
+    fb.feed(jnp.asarray(img2), jnp.asarray(m2), (0, 0))
+    fout, _ = fb.blend()
+    assert np.isfinite(np.asarray(fout)).all()
+
+
+# ------------------------------------------------------------------ crop ----
+def test_crop_removes_black_borders(rng):
+    inner = rng.uniform(10, 255, (40, 60, 3)).astype(np.float32)
+    padded = np.pad(inner, [(7, 9), (11, 13), (0, 0)])
+    rect = crop_rect(padded)
+    x, y, w, h = rect
+    assert 9 <= x <= 13 and 5 <= y <= 9
+    out = crop(padded)
+    assert out.shape[0] <= 42 and out.shape[1] <= 62
+    # Cropped region is essentially all-nonblack.
+    gray = out.sum(-1)
+    assert (gray > 0).mean() > 0.99
+
+
+def test_crop_irregular_boundary():
+    # Slanted panorama-like mask: crop must find an interior rect.
+    img = np.zeros((60, 100, 3), np.float32)
+    for y in range(10, 50):
+        x0 = 5 + (y - 10) // 4
+        img[y, x0:x0 + 70] = 128.0
+    out = crop(img)
+    gray = out.sum(-1)
+    assert (gray > 0).mean() > 0.98
+    assert out.shape[0] > 10 and out.shape[1] > 30
+
+
+# ------------------------------------------------------------- timelapse ----
+def test_timelapser(rng):
+    img = rng.uniform(0, 255, (20, 30, 3)).astype(np.float32)
+    corners = [(0, 0), (10, 5)]
+    sizes = [(30, 20), (30, 20)]
+    tl = Timelapser(corners, sizes, TimelapserType.AS_IS)
+    frame = np.asarray(tl.process(jnp.asarray(img), None, (0, 0)))
+    assert frame.shape == (25, 40, 3)
+    np.testing.assert_allclose(frame[:20, :30], img, atol=1e-4)
+    assert (frame[20:] == 0).all()
+    crop_tl = Timelapser(corners, sizes, TimelapserType.CROP)
+    f2 = np.asarray(crop_tl.process(jnp.asarray(img), None, (10, 5)))
+    assert f2.shape == (15, 20, 3)
+    assert fixed_name("/a/b/7.jpg") == "fixed_7.jpg"

@@ -83,12 +83,20 @@ def test_pixel_accuracy_vs_ideal_render(stitched):
     uu, vv = np.meshgrid((cx + np.arange(w)) / focal,
                          (cy + np.arange(h)) / focal)
     sinv = np.sin(np.pi - vv)
-    lon = np.arctan2(sinv * np.sin(uu), sinv * np.cos(uu))
-    lat = np.arcsin(np.clip(np.cos(np.pi - vv), -1, 1))
+    ray = np.stack([sinv * np.sin(uu),
+                    np.cos(np.pi - vv),
+                    sinv * np.cos(uu)], axis=-1)
+    # Wave correct / BA change the global gauge: R_est = G @ R_true.  A
+    # canvas ray r shows the texture at G^T r.
+    gs = [rc[a] @ rs[res.kept_indices[a]].T for a in range(len(rc))]
+    g = sum(gs) / len(gs)
+    u_, _, vt = np.linalg.svd(g)
+    g = u_ @ vt
+    ray = ray @ g  # == (G^T r)^T per pixel
+    lon = np.arctan2(ray[..., 0], ray[..., 2])
+    lat = np.arcsin(np.clip(ray[..., 1], -1, 1))
     ideal = sphere_texture_rgb(lon.astype(np.float32),
                                lat.astype(np.float32))
-    # Wave correct may tilt the global frame slightly; the texture is
-    # smooth at matching scale, so mean error stays low when aligned.
     diff = np.abs(ideal - res.panorama)[res.mask]
     assert diff.mean() < 30.0, diff.mean()
 
