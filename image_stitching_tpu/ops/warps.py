@@ -48,203 +48,220 @@ Array = jnp.ndarray
 # Each returns coords in "unit scale"; the warper multiplies by scale.
 # ---------------------------------------------------------------------------
 
-def _sph_angles(x, y, z):
-    """(azimuth u_, polar v_) with v_ = pi - acos(y/r) in [0, pi]."""
-    u_ = jnp.arctan2(x, z)
-    r = jnp.sqrt(x * x + y * y + z * z)
-    w = jnp.clip(y / jnp.maximum(r, 1e-30), -1.0, 1.0)
-    v_ = jnp.pi - jnp.arccos(w)
-    return u_, v_
+def _make_projections(xp) -> "Dict[str, Tuple[Callable, Callable]]":
+    """Build the projection table against a numpy-like namespace.
+
+    Instantiated twice: with jnp (device kernels) and with numpy (host-side
+    ROI detection — the axon TPU tunnel has ~25ms latency per device->host
+    sync, so ROI math must never touch the device).
+    """
+    def _sph_angles(x, y, z):
+        """(azimuth u_, polar v_) with v_ = pi - acos(y/r) in [0, pi]."""
+        u_ = xp.arctan2(x, z)
+        r = xp.sqrt(x * x + y * y + z * z)
+        w = xp.clip(y / xp.maximum(r, 1e-30), -1.0, 1.0)
+        v_ = xp.pi - xp.arccos(w)
+        return u_, v_
 
 
-def _elev_angles(x, y, z):
-    """(azimuth u_, elevation v_) with v_ = asin(y/r) in [-pi/2, pi/2]."""
-    u_ = jnp.arctan2(x, z)
-    r = jnp.sqrt(x * x + y * y + z * z)
-    v_ = jnp.arcsin(jnp.clip(y / jnp.maximum(r, 1e-30), -1.0, 1.0))
-    return u_, v_
+    def _elev_angles(x, y, z):
+        """(azimuth u_, elevation v_) with v_ = asin(y/r) in [-pi/2, pi/2]."""
+        u_ = xp.arctan2(x, z)
+        r = xp.sqrt(x * x + y * y + z * z)
+        v_ = xp.arcsin(xp.clip(y / xp.maximum(r, 1e-30), -1.0, 1.0))
+        return u_, v_
 
 
-def _ray_from_elev(u_, v_):
-    cv = jnp.cos(v_)
-    return cv * jnp.sin(u_), jnp.sin(v_), cv * jnp.cos(u_)
+    def _ray_from_elev(u_, v_):
+        cv = xp.cos(v_)
+        return cv * xp.sin(u_), xp.sin(v_), cv * xp.cos(u_)
 
 
-def _plane_fwd(x, y, z):
-    zs = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
-    return x / zs, y / zs
+    def _plane_fwd(x, y, z):
+        zs = xp.where(xp.abs(z) < 1e-12, 1e-12, z)
+        return x / zs, y / zs
 
 
-def _plane_bwd(u, v):
-    return u, v, jnp.ones_like(u)
+    def _plane_bwd(u, v):
+        return u, v, xp.ones_like(u)
 
 
-def _spherical_fwd(x, y, z):
-    u_, v_ = _sph_angles(x, y, z)
-    return u_, v_
+    def _spherical_fwd(x, y, z):
+        u_, v_ = _sph_angles(x, y, z)
+        return u_, v_
 
 
-def _spherical_bwd(u, v):
-    sinv = jnp.sin(jnp.pi - v)
-    return sinv * jnp.sin(u), jnp.cos(jnp.pi - v), sinv * jnp.cos(u)
+    def _spherical_bwd(u, v):
+        sinv = xp.sin(xp.pi - v)
+        return sinv * xp.sin(u), xp.cos(xp.pi - v), sinv * xp.cos(u)
 
 
-def _cylindrical_fwd(x, y, z):
-    u_ = jnp.arctan2(x, z)
-    v_ = y / jnp.maximum(jnp.sqrt(x * x + z * z), 1e-30)
-    return u_, v_
+    def _cylindrical_fwd(x, y, z):
+        u_ = xp.arctan2(x, z)
+        v_ = y / xp.maximum(xp.sqrt(x * x + z * z), 1e-30)
+        return u_, v_
 
 
-def _cylindrical_bwd(u, v):
-    return jnp.sin(u), v, jnp.cos(u)
+    def _cylindrical_bwd(u, v):
+        return xp.sin(u), v, xp.cos(u)
 
 
-def _fisheye_fwd(x, y, z):
-    u_, v_ = _sph_angles(x, y, z)
-    return v_ * jnp.cos(u_), v_ * jnp.sin(u_)
+    def _fisheye_fwd(x, y, z):
+        u_, v_ = _sph_angles(x, y, z)
+        return v_ * xp.cos(u_), v_ * xp.sin(u_)
 
 
-def _fisheye_bwd(u, v):
-    v_ = jnp.sqrt(u * u + v * v)
-    u_ = jnp.arctan2(v, u)
-    sinv = jnp.sin(jnp.pi - v_)
-    return sinv * jnp.sin(u_), jnp.cos(jnp.pi - v_), sinv * jnp.cos(u_)
+    def _fisheye_bwd(u, v):
+        v_ = xp.sqrt(u * u + v * v)
+        u_ = xp.arctan2(v, u)
+        sinv = xp.sin(xp.pi - v_)
+        return sinv * xp.sin(u_), xp.cos(xp.pi - v_), sinv * xp.cos(u_)
 
 
-def _stereographic_fwd(x, y, z):
-    u_, v_ = _sph_angles(x, y, z)
-    # r = sin(v_) / (1 - cos(v_)) = cot(v_/2): projection from the pole.
-    r = jnp.sin(v_) / jnp.maximum(1.0 - jnp.cos(v_), 1e-30)
-    return r * jnp.cos(u_), r * jnp.sin(u_)
+    def _stereographic_fwd(x, y, z):
+        u_, v_ = _sph_angles(x, y, z)
+        # r = sin(v_) / (1 - cos(v_)) = cot(v_/2): projection from the pole.
+        r = xp.sin(v_) / xp.maximum(1.0 - xp.cos(v_), 1e-30)
+        return r * xp.cos(u_), r * xp.sin(u_)
 
 
-def _stereographic_bwd(u, v):
-    r = jnp.sqrt(u * u + v * v)
-    u_ = jnp.arctan2(v, u)
-    v_ = 2.0 * jnp.arctan2(jnp.ones_like(r), r)  # = 2*atan(1/r); r=0 -> pi
-    sinv = jnp.sin(jnp.pi - v_)
-    return sinv * jnp.sin(u_), jnp.cos(jnp.pi - v_), sinv * jnp.cos(u_)
+    def _stereographic_bwd(u, v):
+        r = xp.sqrt(u * u + v * v)
+        u_ = xp.arctan2(v, u)
+        v_ = 2.0 * xp.arctan2(xp.ones_like(r), r)  # = 2*atan(1/r); r=0 -> pi
+        sinv = xp.sin(xp.pi - v_)
+        return sinv * xp.sin(u_), xp.cos(xp.pi - v_), sinv * xp.cos(u_)
 
 
-def _compressed_fwd(a: float, b: float):
-    def fwd(x, y, z):
-        u_, v_ = _elev_angles(x, y, z)
-        u = a * jnp.tan(u_ / a)
-        v = b * jnp.tan(v_) / jnp.cos(u_)
-        return u, v
-    return fwd
-
-
-def _compressed_bwd(a: float, b: float):
-    def bwd(u, v):
-        u_ = a * jnp.arctan(u / a)
-        v_ = jnp.arctan(v * jnp.cos(u_) / b)
-        return _ray_from_elev(u_, v_)
-    return bwd
-
-
-def _portrait(fwd_factory, bwd_factory):
-    """Portrait variant: the compression axis is vertical.  OpenCV computes
-    the inner projection on the axis-swapped ray (y, x, z) and negates u
-    (verified numerically against cv2.PyRotationWarper)."""
-    def make_fwd(a, b):
-        inner = fwd_factory(a, b)
-
+    def _compressed_fwd(a: float, b: float):
         def fwd(x, y, z):
-            u, v = inner(y, x, z)
-            return -u, v
+            u_, v_ = _elev_angles(x, y, z)
+            u = a * xp.tan(u_ / a)
+            v = b * xp.tan(v_) / xp.cos(u_)
+            return u, v
         return fwd
 
-    def make_bwd(a, b):
-        inner = bwd_factory(a, b)
 
+    def _compressed_bwd(a: float, b: float):
         def bwd(u, v):
-            x, y, z = inner(-u, v)
-            return y, x, z
+            u_ = a * xp.arctan(u / a)
+            v_ = xp.arctan(v * xp.cos(u_) / b)
+            return _ray_from_elev(u_, v_)
         return bwd
-    return make_fwd, make_bwd
 
 
-_compressed_portrait_fwd, _compressed_portrait_bwd = _portrait(
-    _compressed_fwd, _compressed_bwd)
+    def _portrait(fwd_factory, bwd_factory):
+        """Portrait variant: the compression axis is vertical.  OpenCV computes
+        the inner projection on the axis-swapped ray (y, x, z) and negates u
+        (verified numerically against cv2.PyRotationWarper)."""
+        def make_fwd(a, b):
+            inner = fwd_factory(a, b)
+
+            def fwd(x, y, z):
+                u, v = inner(y, x, z)
+                return -u, v
+            return fwd
+
+        def make_bwd(a, b):
+            inner = bwd_factory(a, b)
+
+            def bwd(u, v):
+                x, y, z = inner(-u, v)
+                return y, x, z
+            return bwd
+        return make_fwd, make_bwd
 
 
-def _panini_fwd(a: float, b: float):
-    def fwd(x, y, z):
+    _compressed_portrait_fwd, _compressed_portrait_bwd = _portrait(
+        _compressed_fwd, _compressed_bwd)
+
+
+    def _panini_fwd(a: float, b: float):
+        def fwd(x, y, z):
+            u_, v_ = _elev_angles(x, y, z)
+            tg = a * xp.tan(u_ / a)
+            sinu = xp.sin(u_)
+            ratio = xp.where(xp.abs(sinu) < 1e-7, xp.ones_like(sinu),
+                              tg / xp.where(xp.abs(sinu) < 1e-7, 1.0, sinu))
+            return tg, b * xp.tan(v_) * ratio
+        return fwd
+
+
+    def _panini_bwd(a: float, b: float):
+        def bwd(u, v):
+            u_ = a * xp.arctan(u / a)
+            tg = a * xp.tan(u_ / a)
+            sinu = xp.sin(u_)
+            ratio = xp.where(xp.abs(sinu) < 1e-7, xp.ones_like(sinu),
+                              tg / xp.where(xp.abs(sinu) < 1e-7, 1.0, sinu))
+            v_ = xp.arctan(v / (b * ratio))
+            return _ray_from_elev(u_, v_)
+        return bwd
+
+
+    _panini_portrait_fwd, _panini_portrait_bwd = _portrait(_panini_fwd,
+                                                           _panini_bwd)
+
+
+    def _mercator_fwd(x, y, z):
         u_, v_ = _elev_angles(x, y, z)
-        tg = a * jnp.tan(u_ / a)
-        sinu = jnp.sin(u_)
-        ratio = jnp.where(jnp.abs(sinu) < 1e-7, jnp.ones_like(sinu),
-                          tg / jnp.where(jnp.abs(sinu) < 1e-7, 1.0, sinu))
-        return tg, b * jnp.tan(v_) * ratio
-    return fwd
+        v_ = xp.clip(v_, -1.5, 1.5)
+        return u_, xp.log(xp.tan(xp.pi / 4.0 + v_ / 2.0))
 
 
-def _panini_bwd(a: float, b: float):
-    def bwd(u, v):
-        u_ = a * jnp.arctan(u / a)
-        tg = a * jnp.tan(u_ / a)
-        sinu = jnp.sin(u_)
-        ratio = jnp.where(jnp.abs(sinu) < 1e-7, jnp.ones_like(sinu),
-                          tg / jnp.where(jnp.abs(sinu) < 1e-7, 1.0, sinu))
-        v_ = jnp.arctan(v / (b * ratio))
+    def _mercator_bwd(u, v):
+        v_ = 2.0 * xp.arctan(xp.exp(v)) - xp.pi / 2.0
+        return _ray_from_elev(u, v_)
+
+
+    def _transverse_mercator_fwd(x, y, z):
+        u_, v_ = _elev_angles(x, y, z)
+        bb = xp.clip(xp.cos(v_) * xp.sin(u_), -0.999999, 0.999999)
+        u = 0.5 * xp.log((1.0 + bb) / (1.0 - bb))
+        v = xp.arctan2(xp.tan(v_), xp.cos(u_))
+        return u, v
+
+
+    def _transverse_mercator_bwd(u, v):
+        v_ = xp.arcsin(xp.clip(xp.sin(v) / xp.cosh(u), -1.0, 1.0))
+        u_ = xp.arctan2(xp.sinh(u), xp.cos(v))
         return _ray_from_elev(u_, v_)
-    return bwd
 
 
-_panini_portrait_fwd, _panini_portrait_bwd = _portrait(_panini_fwd,
-                                                       _panini_bwd)
+
+    return {
+        "plane": (_plane_fwd, _plane_bwd),
+        "affine": (_plane_fwd, _plane_bwd),  # affine folded into R + offset
+        "spherical": (_spherical_fwd, _spherical_bwd),
+        "cylindrical": (_cylindrical_fwd, _cylindrical_bwd),
+        "fisheye": (_fisheye_fwd, _fisheye_bwd),
+        "stereographic": (_stereographic_fwd, _stereographic_bwd),
+        "compressedPlaneA2B1": (_compressed_fwd(2.0, 1.0),
+                                _compressed_bwd(2.0, 1.0)),
+        "compressedPlaneA1.5B1": (_compressed_fwd(1.5, 1.0),
+                                  _compressed_bwd(1.5, 1.0)),
+        "compressedPlanePortraitA2B1": (_compressed_portrait_fwd(2.0, 1.0),
+                                        _compressed_portrait_bwd(2.0, 1.0)),
+        "compressedPlanePortraitA1.5B1": (
+            _compressed_portrait_fwd(1.5, 1.0),
+            _compressed_portrait_bwd(1.5, 1.0)),
+        "paniniA2B1": (_panini_fwd(2.0, 1.0), _panini_bwd(2.0, 1.0)),
+        "paniniA1.5B1": (_panini_fwd(1.5, 1.0), _panini_bwd(1.5, 1.0)),
+        "paniniPortraitA2B1": (_panini_portrait_fwd(2.0, 1.0),
+                               _panini_portrait_bwd(2.0, 1.0)),
+        "paniniPortraitA1.5B1": (_panini_portrait_fwd(1.5, 1.0),
+                                 _panini_portrait_bwd(1.5, 1.0)),
+        "mercator": (_mercator_fwd, _mercator_bwd),
+        "transverseMercator": (_transverse_mercator_fwd,
+                               _transverse_mercator_bwd),
+    }
 
 
-def _mercator_fwd(x, y, z):
-    u_, v_ = _elev_angles(x, y, z)
-    v_ = jnp.clip(v_, -1.5, 1.5)
-    return u_, jnp.log(jnp.tan(jnp.pi / 4.0 + v_ / 2.0))
+PROJECTIONS = _make_projections(jnp)
+PROJECTIONS_NP = _make_projections(np)
 
 
-def _mercator_bwd(u, v):
-    v_ = 2.0 * jnp.arctan(jnp.exp(v)) - jnp.pi / 2.0
-    return _ray_from_elev(u, v_)
 
-
-def _transverse_mercator_fwd(x, y, z):
-    u_, v_ = _elev_angles(x, y, z)
-    bb = jnp.clip(jnp.cos(v_) * jnp.sin(u_), -0.999999, 0.999999)
-    u = 0.5 * jnp.log((1.0 + bb) / (1.0 - bb))
-    v = jnp.arctan2(jnp.tan(v_), jnp.cos(u_))
-    return u, v
-
-
-def _transverse_mercator_bwd(u, v):
-    v_ = jnp.arcsin(jnp.clip(jnp.sin(v) / jnp.cosh(u), -1.0, 1.0))
-    u_ = jnp.arctan2(jnp.sinh(u), jnp.cos(v))
-    return _ray_from_elev(u_, v_)
-
-
-# Name -> (forward, backward).  Parameterized families bind their (a, b)
-# exactly as the reference's creator table does (`image_stitching.cpp:945-960`).
-PROJECTIONS: Dict[str, Tuple[Callable, Callable]] = {
-    "plane": (_plane_fwd, _plane_bwd),
-    "affine": (_plane_fwd, _plane_bwd),  # affine transform folded into R
-    "spherical": (_spherical_fwd, _spherical_bwd),
-    "cylindrical": (_cylindrical_fwd, _cylindrical_bwd),
-    "fisheye": (_fisheye_fwd, _fisheye_bwd),
-    "stereographic": (_stereographic_fwd, _stereographic_bwd),
-    "compressedPlaneA2B1": (_compressed_fwd(2.0, 1.0), _compressed_bwd(2.0, 1.0)),
-    "compressedPlaneA1.5B1": (_compressed_fwd(1.5, 1.0), _compressed_bwd(1.5, 1.0)),
-    "compressedPlanePortraitA2B1": (_compressed_portrait_fwd(2.0, 1.0),
-                                    _compressed_portrait_bwd(2.0, 1.0)),
-    "compressedPlanePortraitA1.5B1": (_compressed_portrait_fwd(1.5, 1.0),
-                                      _compressed_portrait_bwd(1.5, 1.0)),
-    "paniniA2B1": (_panini_fwd(2.0, 1.0), _panini_bwd(2.0, 1.0)),
-    "paniniA1.5B1": (_panini_fwd(1.5, 1.0), _panini_bwd(1.5, 1.0)),
-    "paniniPortraitA2B1": (_panini_portrait_fwd(2.0, 1.0),
-                           _panini_portrait_bwd(2.0, 1.0)),
-    "paniniPortraitA1.5B1": (_panini_portrait_fwd(1.5, 1.0),
-                             _panini_portrait_bwd(1.5, 1.0)),
-    "mercator": (_mercator_fwd, _mercator_bwd),
-    "transverseMercator": (_transverse_mercator_fwd, _transverse_mercator_bwd),
-}
 
 
 # ---------------------------------------------------------------------------
@@ -262,6 +279,21 @@ def _forward_uv(proj_fwd, points_xy: Array, k: Array, r: Array,
     ray = p @ r_kinv.T
     u, v = proj_fwd(ray[..., 0], ray[..., 1], ray[..., 2])
     return u * scale, v * scale
+
+
+def _forward_uv_np(proj_name: str, points_xy: np.ndarray, k, r,
+                   scale: float):
+    """Host-side forward map for ROI detection/warp_point: float32 numpy,
+    zero device traffic (the axon tunnel costs ~25ms per download)."""
+    fwd = PROJECTIONS_NP[proj_name][0]
+    k = np.asarray(k, np.float32)
+    r = np.asarray(r, np.float32)
+    r_kinv = (r @ np.linalg.inv(k)).astype(np.float32)
+    pts = np.asarray(points_xy, np.float32)
+    p = np.concatenate([pts, np.ones_like(pts[..., :1])], axis=-1)
+    ray = p @ r_kinv.T
+    u, v = fwd(ray[..., 0], ray[..., 1], ray[..., 2])
+    return u * np.float32(scale), v * np.float32(scale)
 
 
 def _backward_xy(proj_bwd, u: Array, v: Array, k: Array, r: Array,
@@ -395,7 +427,6 @@ class Warper:
         br like OpenCV (dst size = br - tl + 1)."""
         h, w = src_hw
         k, r, off = self._prep(k, r)
-        fwd = PROJECTIONS[self.proj_name][0]
         xs = np.arange(w, dtype=np.float32)
         ys = np.arange(h, dtype=np.float32)
         border = np.concatenate([
@@ -404,15 +435,22 @@ class Warper:
             np.stack([np.zeros_like(ys), ys], -1),
             np.stack([np.full_like(ys, w - 1), ys], -1),
         ])
-        # Also a coarse interior grid: projections like fisheye/stereographic
-        # can attain extrema in the interior when a pole is inside the image.
-        step = max(1, min(h, w) // 16)
-        gy, gx = np.mgrid[0:h:step, 0:w:step].astype(np.float32)
-        interior = np.stack([gx.ravel(), gy.ravel()], -1)
-        pts = np.concatenate([border, interior])
-        u, v = _forward_uv(fwd, jnp.asarray(pts), k, r, self.scale)
-        u = np.asarray(u) + off[0]
-        v = np.asarray(v) + off[1]
+        if self.proj_name in ("spherical", "cylindrical"):
+            # These use border-only scanning (detectResultRoiByBorder);
+            # spherical adds the pole fix below.  Including interior points
+            # here would overshoot OpenCV's ROI near a visible pole.
+            pts = border
+        else:
+            # Generic detectResultRoi maps every pixel; a coarse interior
+            # grid catches the interior extrema (fisheye/stereographic)
+            # at a fraction of the cost.
+            step = max(1, min(h, w) // 16)
+            gy, gx = np.mgrid[0:h:step, 0:w:step].astype(np.float32)
+            interior = np.stack([gx.ravel(), gy.ravel()], -1)
+            pts = np.concatenate([border, interior])
+        u, v = _forward_uv_np(self.proj_name, pts, k, r, self.scale)
+        u = u + off[0]
+        v = v + off[1]
         tl_u, tl_v = float(u.min()), float(v.min())
         br_u, br_v = float(u.max()), float(v.max())
 
@@ -422,14 +460,15 @@ class Warper:
         return (int(tl_u), int(tl_v), int(br_u), int(br_v))
 
     def _spherical_pole_fix(self, src_hw, k, r, tl_u, tl_v, br_u, br_v):
-        """SphericalWarper::detectResultRoi pole handling: if a pole
-        projects inside the source image, the warped region spans the full
-        meridian at u=0 (v from 0 / to pi*scale)."""
+        """SphericalWarper::detectResultRoi pole handling: when either pole
+        projects inside the source image, the ROI is extended to include
+        the warped-plane origin (u, v) = (0, 0) — decoded numerically from
+        cv2.PyRotationWarper with straight-up and straight-down cameras."""
         h, w = src_hw
         k = np.asarray(k, np.float64)
         r = np.asarray(r, np.float64)
         k_rinv = k @ r.T
-        for pole_y, v_ext in ((-1.0, 0.0), (1.0, math.pi * self.scale)):
+        for pole_y in (1.0, -1.0):
             ray = np.array([0.0, pole_y, 0.0])
             p = k_rinv @ ray
             if p[2] > 0:
@@ -437,16 +476,15 @@ class Warper:
                 if 0 < x < w and 0 < y < h:
                     tl_u = min(tl_u, 0.0)
                     br_u = max(br_u, 0.0)
-                    tl_v = min(tl_v, v_ext)
-                    br_v = max(br_v, v_ext)
+                    tl_v = min(tl_v, 0.0)
+                    br_v = max(br_v, 0.0)
         return tl_u, tl_v, br_u, br_v
 
     # -- public API ----------------------------------------------------------
     def warp_point(self, xy, k, r):
         k, r, off = self._prep(k, r)
-        fwd = PROJECTIONS[self.proj_name][0]
-        u, v = _forward_uv(fwd, jnp.asarray(xy, jnp.float32), k, r,
-                           self.scale)
+        u, v = _forward_uv_np(self.proj_name, np.asarray(xy, np.float32),
+                              k, r, self.scale)
         return u + off[0], v + off[1]
 
     def warp_roi(self, src_hw: Tuple[int, int], k, r):
