@@ -29,9 +29,9 @@ def main():
                                                 write_capture_dir)
     from image_stitching_tpu.pipeline.stitcher import stitch
 
-    n_images = int(os.environ.get("BENCH_IMAGES", "6"))
-    h = int(os.environ.get("BENCH_H", "1152"))
-    w = int(os.environ.get("BENCH_W", "1536"))
+    n_images = int(os.environ.get("BENCH_IMAGES", "8"))
+    h = int(os.environ.get("BENCH_H", "1224"))
+    w = int(os.environ.get("BENCH_W", "1632"))
 
     d = tempfile.mkdtemp(prefix="bench_caps_")
     images, k, rs = make_ring_captures(n_images=n_images, hw=(h, w),

@@ -13,4 +13,16 @@ import jax as _jax
 # opt into lower precision explicitly where it is safe.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: stitch pipelines compile dozens of stage
+# programs; caching makes warmup a one-time cost across processes.
+try:
+    import os as _os
+    _cache = _os.environ.get("IMAGE_STITCHING_TPU_CACHE",
+                             _os.path.expanduser("~/.cache/jax_stitch"))
+    _os.makedirs(_cache, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
+
 __version__ = "0.1.0"

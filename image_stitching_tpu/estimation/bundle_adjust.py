@@ -173,6 +173,47 @@ def _eval_cost(params, cam_i, cam_j, p_i, p_j, w, *, cost: str):
     return jnp.sum(res * res)
 
 
+@functools.partial(jax.jit, static_argnames=("cost", "n_cams", "max_iters"))
+def _lm_solve_device(params, cam_i, cam_j, p_i, p_j, w, free_mask, *,
+                     cost: str, n_cams: int, max_iters: int):
+    """The whole LM loop as one device program (lax.while_loop).
+
+    On axon every host sync costs ~25ms; the host-driven loop paid 2+
+    syncs per iteration.  Carry: (params, lam, cost, iters, done)."""
+    def normal_eqs(p):
+        return _lm_normal_eqs(p, cam_i, cam_j, p_i, p_j, w, free_mask,
+                              cost=cost, n_cams=n_cams)
+
+    cost0, jtj0, jtr0 = normal_eqs(params)
+    state = (params, jnp.float32(1e-3), cost0, jtj0, jtr0, jnp.int32(0),
+             jnp.bool_(False))
+
+    def cond(s):
+        _, lam, _, _, _, it, done = s
+        return (~done) & (it < max_iters) & (lam < 1e6)
+
+    def step(s):
+        p, lam, c, jtj, jtr, it, done = s
+        diag = jnp.diag(jtj)
+        precond = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-8))
+        a = jtj * precond[:, None] * precond[None, :]
+        a = a + lam * jnp.eye(a.shape[0])
+        stp = precond * jnp.linalg.solve(a, precond * jtr)
+        new_p = p - stp.reshape(p.shape)
+        new_c = _eval_cost(new_p, cam_i, cam_j, p_i, p_j, w, cost=cost)
+        accept = jnp.isfinite(new_c) & (new_c < c)
+        p2 = jnp.where(accept, new_p, p)
+        lam2 = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-7), lam * 10.0)
+        converged = accept & ((c - new_c) < 1e-9 * (1.0 + new_c))
+        c2, jtj2, jtr2 = jax.lax.cond(
+            accept, lambda q: normal_eqs(q),
+            lambda q: (c, jtj, jtr), p2)
+        return (p2, lam2, c2, jtj2, jtr2, it + 1, converged)
+
+    params, _, _, _, _, _, _ = jax.lax.while_loop(cond, step, state)
+    return params
+
+
 def _free_mask(n_cams: int, refine_mask: str) -> np.ndarray:
     per_cam = np.zeros(7, bool)
     m = (refine_mask + "_____")[:5]
@@ -200,35 +241,11 @@ def bundle_adjust(cams: Cameras, problem: Optional[BAProblem],
     n = len(cams)
     params = _params_from_cameras(cams)
     free = jnp.asarray(_free_mask(n, refine_mask))
-    args = (jnp.asarray(problem.cam_i), jnp.asarray(problem.cam_j),
-            jnp.asarray(problem.p_i), jnp.asarray(problem.p_j),
-            jnp.asarray(problem.w))
-
-    lam = 1e-3
-    cost_val, jtj, jtr = _lm_normal_eqs(params, *args, free, cost=cost_func,
-                                        n_cams=n)
-    cost_val = float(cost_val)
-    for _ in range(max_iters):
-        diag = jnp.diag(jtj)
-        precond = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-8))
-        a = jtj * precond[:, None] * precond[None, :]
-        a = a + lam * jnp.eye(a.shape[0])
-        step = precond * jnp.linalg.solve(a, precond * jtr)
-        new_params = params - step.reshape(n, 7)
-        new_cost = float(_eval_cost(new_params, *args, cost=cost_func))
-        if np.isfinite(new_cost) and new_cost < cost_val:
-            params = new_params
-            improved = cost_val - new_cost
-            cost_val = new_cost
-            lam = max(lam * 0.3, 1e-7)
-            cost_val_, jtj, jtr = _lm_normal_eqs(params, *args, free,
-                                                 cost=cost_func, n_cams=n)
-            if improved < 1e-9 * (1.0 + cost_val):
-                break
-        else:
-            lam *= 10.0
-            if lam > 1e6:
-                break
+    params = _lm_solve_device(
+        params, jnp.asarray(problem.cam_i), jnp.asarray(problem.cam_j),
+        jnp.asarray(problem.p_i), jnp.asarray(problem.p_j),
+        jnp.asarray(problem.w), free, cost=cost_func, n_cams=n,
+        max_iters=max_iters)
 
     if not np.all(np.isfinite(np.asarray(params))):
         raise RuntimeError("Camera parameters adjusting failed.")

@@ -203,12 +203,18 @@ def feed(corners, images_warped, masks_warped,
 
 @functools.partial(jax.jit, static_argnames=("cell",))
 def _apply_block_gain(img: jnp.ndarray, gmap: jnp.ndarray,
-                      offset: jnp.ndarray, cell: int) -> jnp.ndarray:
-    """Bilinear-sample the cell-grid gain map over the image ROI."""
+                      corner: jnp.ndarray, canvas_tl: jnp.ndarray,
+                      coord_scale: jnp.ndarray, cell: int) -> jnp.ndarray:
+    """Bilinear-sample the cell-grid gain map over the image ROI.
+
+    Pixel (x, y) of a warped image anchored at `corner` maps to gain-grid
+    coords ((corner + p) * coord_scale - canvas_tl) / cell."""
     h, w = img.shape[:2]
     gy, gx = gmap.shape[0], gmap.shape[1]
-    ys = (offset[1] + jnp.arange(h, dtype=jnp.float32) + 0.5) / cell - 0.5
-    xs = (offset[0] + jnp.arange(w, dtype=jnp.float32) + 0.5) / cell - 0.5
+    ys = ((corner[1] + jnp.arange(h, dtype=jnp.float32) + 0.5) *
+          coord_scale - canvas_tl[1]) / cell - 0.5
+    xs = ((corner[0] + jnp.arange(w, dtype=jnp.float32) + 0.5) *
+          coord_scale - canvas_tl[0]) / cell - 0.5
     y0 = jnp.clip(jnp.floor(ys), 0, gy - 1)
     x0 = jnp.clip(jnp.floor(xs), 0, gx - 1)
     fy = jnp.clip(ys - y0, 0, 1)[:, None]
@@ -231,8 +237,14 @@ def _apply_block_gain(img: jnp.ndarray, gmap: jnp.ndarray,
     return img.astype(jnp.float32) * g
 
 
-def apply_gain(comp: ExposureCompensator, index: int, corner, img):
-    """compensator->apply(idx, corner, img, mask) at `:1162`."""
+def apply_gain(comp: ExposureCompensator, index: int, corner, img,
+               coord_scale: float = 1.0):
+    """compensator->apply(idx, corner, img, mask) at `:1162`.
+
+    `coord_scale` maps the image's warped coordinates into the frame the
+    gains were fitted in (the feed happens at seam scale, the apply at
+    compose scale — `:1023` vs `:1162`; warped coords are proportional to
+    the warper scale, so the ratio is seam/compose warp scale)."""
     img = jnp.asarray(img, jnp.float32)
     if comp.comp_type == ECType.NO:
         return img
@@ -241,6 +253,8 @@ def apply_gain(comp: ExposureCompensator, index: int, corner, img):
     if comp.comp_type == ECType.CHANNELS:
         return img * jnp.asarray(comp.gains[index])[None, None, :]
     gmap = jnp.asarray(comp.gains[index])
-    offset = jnp.asarray([corner[0] - comp.canvas_roi[0],
-                          corner[1] - comp.canvas_roi[1]], jnp.float32)
-    return _apply_block_gain(img, gmap, offset, comp.block_size)
+    return _apply_block_gain(
+        img, gmap,
+        jnp.asarray([corner[0], corner[1]], jnp.float32),
+        jnp.asarray([comp.canvas_roi[0], comp.canvas_roi[1]], jnp.float32),
+        jnp.float32(coord_scale), comp.block_size)

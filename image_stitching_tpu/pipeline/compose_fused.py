@@ -1,0 +1,335 @@
+"""Fused compositing: the whole per-image compose loop as ONE device program.
+
+The reference's hottest loop (`image_stitching.cpp:1086-1225`) re-warps every
+image at compose scale, applies gains, merges seam+warp masks, and feeds a
+multi-band blender — one image at a time on the host.  Here the entire loop
+is a single jitted `lax.scan` over the image axis:
+
+  per image (on device):  backward warp (bilinear/reflect) + nearest mask
+  -> block-gain sampling (seam-canvas coordinate frame) -> seam-mask
+  sampling via warped-plane scale ratio (warped coords are proportional to
+  the warper scale, so the seam-scale mask is sampled directly — replaces
+  the dilate+resize+AND at `:1169-1171`) -> Laplacian pyramid accumulate
+  into canvas band accumulators at band-aligned offsets
+  final: per-band normalize + collapse -> panorama.
+
+Host work is reduced to ROI bookkeeping (numpy ints) and ONE download of
+the finished panorama — critical on axon where every device->host sync
+costs ~25ms.
+
+All per-image rects are padded to one static shape and band-aligned
+against the canvas grid, so the scan body compiles once regardless of N.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import BlenderType, ExposureCompensatorType as ECType
+from ..ops.blend import WEIGHT_EPS, num_bands_for, pyr_down, pyr_up
+from ..ops.imgproc import dilate3
+from ..ops.warps import PROJECTIONS, Warper, _backward_xy, result_roi
+
+__all__ = ["fused_compose"]
+
+
+def _bilinear_sample(img, sx, sy, fill=0.0):
+    """Gather with bilinear weights, constant fill outside."""
+    h, w = img.shape[0], img.shape[1]
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = (sx - x0)[..., None] if img.ndim == 3 else (sx - x0)
+    fy = (sy - y0)[..., None] if img.ndim == 3 else (sy - y0)
+    x0i = jnp.clip(x0.astype(jnp.int32), -1, w)
+    y0i = jnp.clip(y0.astype(jnp.int32), -1, h)
+
+    def fetch(yy, xx):
+        inside = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
+        val = img[jnp.clip(yy, 0, h - 1), jnp.clip(xx, 0, w - 1)]
+        if img.ndim == 3:
+            return jnp.where(inside[..., None], val, fill)
+        return jnp.where(inside, val, fill)
+    i00 = fetch(y0i, x0i)
+    i01 = fetch(y0i, x0i + 1)
+    i10 = fetch(y0i + 1, x0i)
+    i11 = fetch(y0i + 1, x0i + 1)
+    return (i00 * (1 - fx) * (1 - fy) + i01 * fx * (1 - fy) +
+            i10 * (1 - fx) * fy + i11 * fx * fy)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("proj_name", "pad_h", "pad_w"))
+def _warp_stack(images, ks, rs, scale, tls, *, proj_name: str, pad_h: int,
+                pad_w: int):
+    """Vmapped warp of an image stack onto padded per-image rects.
+
+    Returns (warped (N, pad_h, pad_w, C) float32,
+             valid (N, pad_h, pad_w) float32 in {0,1}) — the seam-scale
+    warp loop (`image_stitching.cpp:975-989`) as one device program with
+    exactly two host downloads.
+    """
+    proj_bwd = PROJECTIONS[proj_name][1]
+    hc, wc = images.shape[1], images.shape[2]
+
+    def one(img, k, r, tl):
+        us = tl[0] + jnp.arange(pad_w, dtype=jnp.float32)
+        vs = tl[1] + jnp.arange(pad_h, dtype=jnp.float32)
+        uu, vv = jnp.meshgrid(us, vs)
+        sx, sy, valid = _backward_xy(proj_bwd, uu, vv, k, r, scale)
+
+        def reflect(c, nn):
+            period = 2 * nn
+            c = jnp.mod(c, period)
+            return jnp.where(c >= nn, period - 1 - c, c)
+        x0 = jnp.floor(sx)
+        y0 = jnp.floor(sy)
+        fx = (sx - x0)[..., None]
+        fy = (sy - y0)[..., None]
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        i00 = img[reflect(y0i, hc), reflect(x0i, wc)]
+        i01 = img[reflect(y0i, hc), reflect(x0i + 1, wc)]
+        i10 = img[reflect(y0i + 1, hc), reflect(x0i, wc)]
+        i11 = img[reflect(y0i + 1, hc), reflect(x0i + 1, wc)]
+        warped = (i00 * (1 - fx) * (1 - fy) + i01 * fx * (1 - fy) +
+                  i10 * (1 - fx) * fy + i11 * fx * fy)
+        xr = jnp.round(sx)
+        yr = jnp.round(sy)
+        wmask = valid & (xr >= 0) & (xr <= wc - 1) & (yr >= 0) & \
+            (yr <= hc - 1)
+        warped = jnp.where(wmask[..., None], warped, 0.0)
+        return warped, wmask.astype(jnp.float32)
+
+    return jax.vmap(one)(images, ks, rs, tls)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("proj_name", "pad_h", "pad_w", "canvas_h", "canvas_w",
+                     "n_bands", "seam_pad_h", "seam_pad_w", "gain_mode"))
+def _fused_compose_impl(images, ks, rs, scale, tls, canvas_tl,
+                        seam_masks, seam_tls, seam_ratio,
+                        gains, gain_tl, gain_cell, *,
+                        proj_name: str, pad_h: int, pad_w: int,
+                        canvas_h: int, canvas_w: int, n_bands: int,
+                        seam_pad_h: int, seam_pad_w: int, gain_mode: str):
+    """One scan over images accumulating multiband canvas pyramids.
+
+    images: (N, hc, wc, 3); ks, rs: (N, 3, 3); tls: (N, 2) aligned rect
+    top-lefts (absolute warped coords); canvas_tl: (2,);
+    seam_masks: (N, seam_pad_h, seam_pad_w) float 0/1 (pre-dilated);
+    seam_tls: (N, 2) seam-scale ROI corners; seam_ratio: scalar
+    (seam_warp_scale / compose_warp_scale);
+    gains: per gain_mode — "none": (N,), "scalar": (N,), "channels":
+    (N, 3), "blocks": (N, Gy, Gx) or (N, Gy, Gx, 3); gain_tl: (2,) gain
+    canvas origin in seam-scale warped coords; gain_cell: scalar block
+    size in seam-canvas pixels.
+    """
+    proj_bwd = PROJECTIONS[proj_name][1]
+    n, hc, wc = images.shape[0], images.shape[1], images.shape[2]
+
+    accs = [jnp.zeros((canvas_h >> b, canvas_w >> b, 3), jnp.float32)
+            for b in range(n_bands + 1)]
+    waccs = [jnp.zeros((canvas_h >> b, canvas_w >> b), jnp.float32)
+             for b in range(n_bands + 1)]
+
+    def body(carry, inp):
+        accs, waccs = carry
+        img, k, r, tl, smask, stl, gain = inp
+        us = tl[0] + jnp.arange(pad_w, dtype=jnp.float32)
+        vs = tl[1] + jnp.arange(pad_h, dtype=jnp.float32)
+        uu, vv = jnp.meshgrid(us, vs)
+        sx, sy, valid = _backward_xy(proj_bwd, uu, vv, k, r, scale)
+
+        # BORDER_REFLECT bilinear image sample.
+        def reflect(c, nn):
+            period = 2 * nn
+            c = jnp.mod(c, period)
+            return jnp.where(c >= nn, period - 1 - c, c)
+        x0 = jnp.floor(sx)
+        y0 = jnp.floor(sy)
+        fx = (sx - x0)[..., None]
+        fy = (sy - y0)[..., None]
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        x0r = reflect(x0i, wc)
+        x1r = reflect(x0i + 1, wc)
+        y0r = reflect(y0i, hc)
+        y1r = reflect(y0i + 1, hc)
+        i00 = img[y0r, x0r]
+        i01 = img[y0r, x1r]
+        i10 = img[y1r, x0r]
+        i11 = img[y1r, x1r]
+        warped = (i00 * (1 - fx) * (1 - fy) + i01 * fx * (1 - fy) +
+                  i10 * (1 - fx) * fy + i11 * fx * fy)
+
+        # Warp validity (INTER_NEAREST + BORDER_CONSTANT on the all-255
+        # mask == source-rect containment of the rounded sample).
+        xr = jnp.round(sx)
+        yr = jnp.round(sy)
+        wmask = valid & (xr >= 0) & (xr <= wc - 1) & (yr >= 0) & \
+            (yr <= hc - 1)
+
+        # Exposure gains.
+        if gain_mode == "scalar":
+            warped = warped * gain
+        elif gain_mode == "channels":
+            warped = warped * gain[None, None, :]
+        elif gain_mode == "blocks":
+            gx_ = (uu * seam_ratio - gain_tl[0]) / gain_cell - 0.5
+            gy_ = (vv * seam_ratio - gain_tl[1]) / gain_cell - 0.5
+            gh, gw = gain.shape[0], gain.shape[1]
+            gx_ = jnp.clip(gx_, 0.0, gw - 1.0)
+            gy_ = jnp.clip(gy_, 0.0, gh - 1.0)
+            gval = _bilinear_sample(gain, gx_, gy_)
+            if gain.ndim == 2:
+                gval = gval[..., None]
+            warped = warped * gval
+
+        # Seam mask: sample the seam-scale mask at ratio-scaled warped
+        # coords (warped-plane coordinates are proportional to warp scale).
+        mx = uu * seam_ratio - stl[0]
+        my = vv * seam_ratio - stl[1]
+        sval = _bilinear_sample(smask, mx, my)
+        weight = jnp.where((sval > 0.5) & wmask, 1.0, 0.0)
+
+        # Multi-band accumulate at band-aligned offsets.
+        img_m = warped
+        gauss = [img_m]
+        wg = [weight]
+        for _ in range(n_bands):
+            gauss.append(pyr_down(gauss[-1]))
+            wg.append(pyr_down(wg[-1]))
+        off = (tl - canvas_tl).astype(jnp.int32)
+        new_accs = []
+        new_waccs = []
+        for b in range(n_bands + 1):
+            if b < n_bands:
+                lap = gauss[b] - pyr_up(gauss[b + 1], gauss[b].shape[:2])
+            else:
+                lap = gauss[b]
+            ob = off >> b
+            lh, lw = lap.shape[0], lap.shape[1]
+            cur = jax.lax.dynamic_slice(accs[b], (ob[1], ob[0], 0),
+                                        (lh, lw, 3))
+            new_accs.append(jax.lax.dynamic_update_slice(
+                accs[b], cur + lap * wg[b][..., None], (ob[1], ob[0], 0)))
+            curw = jax.lax.dynamic_slice(waccs[b], (ob[1], ob[0]), (lh, lw))
+            new_waccs.append(jax.lax.dynamic_update_slice(
+                waccs[b], curw + wg[b], (ob[1], ob[0])))
+        return (new_accs, new_waccs), 0
+
+    if gains.ndim == 1:
+        gain_stack = gains
+    else:
+        gain_stack = gains
+    (accs, waccs), _ = jax.lax.scan(
+        body, (accs, waccs),
+        (images, ks, rs, tls, seam_masks, seam_tls, gain_stack))
+
+    bands = [accs[b] / (waccs[b][..., None] + WEIGHT_EPS)
+             for b in range(n_bands + 1)]
+    out = bands[-1]
+    for b in range(n_bands - 1, -1, -1):
+        out = pyr_up(out, bands[b].shape[:2]) + bands[b]
+    # uint8 result: 4x less device->host traffic through the tunnel.
+    out_u8 = jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
+    return out_u8, waccs[0] > WEIGHT_EPS
+
+
+def fused_compose(images: jnp.ndarray, ks: np.ndarray, rs: np.ndarray,
+                  warper: Warper, comp_corners, comp_sizes,
+                  seam_masks, seam_corners, seam_ratio: float,
+                  compensator, blend_type: BlenderType,
+                  blend_strength: float):
+    """Host wrapper: ROI bookkeeping in numpy, one device call, one
+    download.  Returns (panorama float32 (H, W, 3), mask bool)."""
+    n = images.shape[0]
+    canvas = result_roi(comp_corners, comp_sizes)
+    n_bands, blend_width = num_bands_for(canvas, blend_strength)
+    if blend_type == BlenderType.NO or blend_width < 1.0:
+        n_bands = 0
+    elif blend_type == BlenderType.FEATHER:
+        # The fused path approximates feathering with a 1-band (gaussian
+        # weighted) blend; the exact EDT feather lives in ops.blend.
+        n_bands = 1
+    step = 1 << max(n_bands, 1)
+    cx, cy, cw, ch = canvas
+    canvas_w = -(-cw // step) * step
+    canvas_h = -(-ch // step) * step
+
+    gap = 3 * (1 << n_bands)
+    tls = []
+    brs = []
+    for i in range(n):
+        tlx = max(cx, comp_corners[i][0] - gap)
+        tly = max(cy, comp_corners[i][1] - gap)
+        brx = min(cx + canvas_w,
+                  comp_corners[i][0] + comp_sizes[i][0] + gap)
+        bry = min(cy + canvas_h,
+                  comp_corners[i][1] + comp_sizes[i][1] + gap)
+        tlx = cx + (((tlx - cx) >> n_bands) << n_bands)
+        tly = cy + (((tly - cy) >> n_bands) << n_bands)
+        tls.append((tlx, tly))
+        brs.append((brx, bry))
+    pad_w = max(br[0] - tl[0] for tl, br in zip(tls, brs))
+    pad_h = max(br[1] - tl[1] for tl, br in zip(tls, brs))
+    pad_w = min(-(-pad_w // step) * step, canvas_w)
+    pad_h = min(-(-pad_h // step) * step, canvas_h)
+    # Keep rects inside the canvas.
+    tls = [(min(tl[0], cx + canvas_w - pad_w),
+            min(tl[1], cy + canvas_h - pad_h)) for tl in tls]
+
+    # Seam mask stack (pre-dilated), padded.
+    sh_pad = max(m.shape[0] for m in seam_masks)
+    sw_pad = max(m.shape[1] for m in seam_masks)
+    smask = np.zeros((n, sh_pad, sw_pad), np.float32)
+    for i, m in enumerate(seam_masks):
+        smask[i, :m.shape[0], :m.shape[1]] = (np.asarray(m) > 0)
+    smask_d = dilate3(jnp.asarray(smask))
+
+    # Gains.
+    if compensator is None or compensator.comp_type == ECType.NO:
+        gain_mode = "none"
+        gains = np.ones((n,), np.float32)
+        gain_tl = np.zeros(2, np.float32)
+        gain_cell = 1.0
+    elif compensator.comp_type == ECType.GAIN:
+        gain_mode = "scalar"
+        gains = np.asarray(compensator.gains, np.float32)
+        gain_tl = np.zeros(2, np.float32)
+        gain_cell = 1.0
+    elif compensator.comp_type == ECType.CHANNELS:
+        gain_mode = "channels"
+        gains = np.asarray(compensator.gains, np.float32)
+        gain_tl = np.zeros(2, np.float32)
+        gain_cell = 1.0
+    else:
+        gain_mode = "blocks"
+        gains = np.asarray(compensator.gains, np.float32)
+        gain_tl = np.asarray(compensator.canvas_roi[:2], np.float32)
+        gain_cell = float(compensator.block_size)
+
+    pano, mask = _fused_compose_impl(
+        jnp.asarray(images, jnp.float32),
+        jnp.asarray(ks, jnp.float32), jnp.asarray(rs, jnp.float32),
+        jnp.float32(warper.scale),
+        jnp.asarray(np.asarray(tls, np.float32)),
+        jnp.asarray(np.asarray([cx, cy], np.float32)),
+        smask_d,
+        jnp.asarray(np.asarray(seam_corners, np.float32)),
+        jnp.float32(seam_ratio),
+        jnp.asarray(gains),
+        jnp.asarray(gain_tl), jnp.float32(gain_cell),
+        proj_name=warper.proj_name, pad_h=int(pad_h), pad_w=int(pad_w),
+        canvas_h=int(canvas_h), canvas_w=int(canvas_w),
+        n_bands=int(n_bands), seam_pad_h=int(sh_pad),
+        seam_pad_w=int(sw_pad), gain_mode=gain_mode)
+    pano = np.asarray(pano)[:ch, :cw].astype(np.float32)
+    mask = np.asarray(mask)[:ch, :cw]
+    return pano, mask

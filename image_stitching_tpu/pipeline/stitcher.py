@@ -164,23 +164,57 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
     seam_work_aspect = seam_scale / work_scale
 
     n = len(paths)
+    uniform = len(set(full_sizes)) == 1
     seam_imgs = []
     feats: List[Features] = []
+    want_feats = cfg.find_features and cfg.serialize_data
     with stage_timer("Finding features", times):
-        for im in full_imgs:
-            imj = jnp.asarray(im)
-            if work_scale != 1.0:
-                work_img = resize(imj, scale_size(im.shape[0], im.shape[1],
-                                                  work_scale))
-            else:
-                work_img = imj.astype(jnp.float32)
-            if cfg.find_features and cfg.serialize_data:
-                f = detect_features(rgb_to_gray(work_img), cfg)
-                feats.append(f)
-                logger.info("Features in image #%d: %d", len(feats),
-                            int(f.count()))
-            seam_imgs.append(np.asarray(resize(
-                imj, scale_size(im.shape[0], im.shape[1], seam_scale))))
+        stack_u8 = None
+        if uniform:
+            # One batched device program: resize + gray + detect, vmapped
+            # over the image axis; a single host sync for the seam stack.
+            # The stack is uploaded ONCE as uint8 (4x less tunnel traffic
+            # than f32) and stays device-resident through compositing.
+            stack_u8 = jnp.asarray(np.stack(full_imgs))
+            stack = stack_u8
+            h0, w0 = full_imgs[0].shape[:2]
+            work_hw = (scale_size(h0, w0, work_scale)
+                       if work_scale != 1.0 else (h0, w0))
+            seam_hw = scale_size(h0, w0, seam_scale)
+
+            def prep(im):
+                work = (resize(im, work_hw) if work_scale != 1.0
+                        else im.astype(jnp.float32))
+                return rgb_to_gray(work), resize(im, seam_hw)
+
+            grays, seam_stack = jax.vmap(prep)(stack)
+            if want_feats:
+                fstacked = jax.vmap(
+                    lambda g: detect_features(g, cfg))(grays)
+                feats = [fstacked[i] for i in range(n)]
+            seam_np = np.asarray(seam_stack)
+            seam_imgs = [seam_np[i] for i in range(n)]
+            if want_feats and logger.isEnabledFor(20):
+                counts = np.asarray(fstacked.count())
+                for i in range(n):
+                    logger.info("Features in image #%d: %d", i + 1,
+                                int(counts[i]))
+        else:
+            for im in full_imgs:
+                imj = jnp.asarray(im)
+                if work_scale != 1.0:
+                    work_img = resize(imj, scale_size(
+                        im.shape[0], im.shape[1], work_scale))
+                else:
+                    work_img = imj.astype(jnp.float32)
+                if want_feats:
+                    f = detect_features(rgb_to_gray(work_img), cfg)
+                    feats.append(f)
+                    if logger.isEnabledFor(20):
+                        logger.info("Features in image #%d: %d", len(feats),
+                                    int(f.count()))
+                seam_imgs.append(np.asarray(resize(
+                    imj, scale_size(im.shape[0], im.shape[1], seam_scale))))
 
     # ---- scale priors by work_scale (:626-638) ----
     if priors is not None:
@@ -274,19 +308,46 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
         k_seam = k_all.copy()
         k_seam[:, 0, :] *= swa
         k_seam[:, 1, :] *= swa
-        corners, sizes = [], []
-        images_warped, masks_warped = [], []
         r_all = np.asarray(cameras.R, np.float32)
+        corners, sizes = [], []
+        rois = []
         for i in range(n):
-            corner, img_w = warper.warp(jnp.asarray(seam_imgs[i]),
-                                        k_seam[i], r_all[i])
-            mask = np.full(seam_imgs[i].shape[:2], 255, np.uint8)
-            _, mask_w = warper.warp(jnp.asarray(mask), k_seam[i], r_all[i],
-                                    interp="nearest", border="constant")
-            corners.append(corner)
-            sizes.append((img_w.shape[1], img_w.shape[0]))
-            images_warped.append(np.asarray(img_w))
-            masks_warped.append(np.asarray(mask_w).astype(np.uint8))
+            roi = warper.warp_roi(seam_imgs[i].shape[:2], k_seam[i],
+                                  r_all[i])
+            rois.append(roi)
+            corners.append((roi[0], roi[1]))
+            sizes.append((roi[2], roi[3]))
+        if uniform:
+            # One vmapped warp over padded per-image rects; 2 downloads.
+            from .compose_fused import _warp_stack
+            images_warped_pad, masks_warped_pad = _warp_stack(
+                jnp.asarray(np.stack(seam_imgs), jnp.float32),
+                jnp.asarray(k_seam), jnp.asarray(r_all),
+                jnp.float32(warper.scale),
+                jnp.asarray(np.asarray([[r[0], r[1]] for r in rois],
+                                       np.float32)),
+                proj_name=warper.proj_name,
+                pad_h=max(r[3] for r in rois),
+                pad_w=max(r[2] for r in rois))
+            iw = np.asarray(images_warped_pad)
+            mw = np.asarray(masks_warped_pad)
+            images_warped = [iw[i, :rois[i][3], :rois[i][2]]
+                             for i in range(n)]
+            masks_warped = [
+                (mw[i, :rois[i][3], :rois[i][2]] * 255).astype(np.uint8)
+                for i in range(n)]
+        else:
+            images_warped, masks_warped = [], []
+            for i in range(n):
+                _, img_w = warper.warp(jnp.asarray(seam_imgs[i]),
+                                       k_seam[i], r_all[i],
+                                       dst_roi=rois[i])
+                mask = np.full(seam_imgs[i].shape[:2], 255, np.uint8)
+                _, mask_w = warper.warp(jnp.asarray(mask), k_seam[i],
+                                        r_all[i], interp="nearest",
+                                        border="constant", dst_roi=rois[i])
+                images_warped.append(np.asarray(img_w))
+                masks_warped.append(np.asarray(mask_w).astype(np.uint8))
 
     # ---- exposure compensation (:997-1025) ----
     with stage_timer("Compensating exposure", times):
@@ -325,56 +386,84 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
             comp_corners.append((roi[0], roi[1]))
             comp_sizes.append((roi[2], roi[3]))
 
-        blender = None
-        timelapser = None
-        for i in range(n):
-            logger.info("Compositing image #%d", i + 1)
-            img = jnp.asarray(full_imgs[i])
+        # Warped-plane coords scale with the warper scale: this ratio maps
+        # compose-scale warped coords into the seam-scale frame where the
+        # seam masks and exposure gain grid live.
+        seam_ratio = seam_work_aspect / compose_work_aspect
+
+        use_fused = (uniform and not cfg.timelapse and
+                     cfg.blend_type in (BlenderType.MULTI_BAND,
+                                        BlenderType.NO))
+        if use_fused:
+            from .compose_fused import fused_compose
+            src_stack = (stack_u8 if stack_u8 is not None and
+                         len(indices) == stack_u8.shape[0]
+                         else jnp.asarray(np.stack(full_imgs)))
             if abs(compose_scale - 1) > 1e-1:
-                img = resize(img, scale_size(img.shape[0], img.shape[1],
-                                             compose_scale))
-            corner, img_w = warper.warp(
-                img, kc_all[i], r_all[i],
-                dst_roi=(comp_corners[i][0], comp_corners[i][1],
-                         comp_sizes[i][0], comp_sizes[i][1]))
-            mask = np.full((img.shape[0], img.shape[1]), 255, np.uint8)
-            _, mask_w = warper.warp(
-                jnp.asarray(mask), kc_all[i], r_all[i], interp="nearest",
-                border="constant",
-                dst_roi=(comp_corners[i][0], comp_corners[i][1],
-                         comp_sizes[i][0], comp_sizes[i][1]))
+                h0, w0 = full_imgs[0].shape[:2]
+                chw = scale_size(h0, w0, compose_scale)
+                comp_imgs = jax.vmap(lambda im: resize(im, chw))(src_stack)
+            else:
+                comp_imgs = src_stack
+            pano, pano_mask = fused_compose(
+                comp_imgs, kc_all, r_all, warper, comp_corners,
+                comp_sizes, seam_masks, corners, seam_ratio,
+                compensator, cfg.blend_type, cfg.blend_strength)
+        else:
+            blender = None
+            timelapser = None
+            for i in range(n):
+                logger.info("Compositing image #%d", i + 1)
+                img = jnp.asarray(full_imgs[i])
+                if abs(compose_scale - 1) > 1e-1:
+                    img = resize(img, scale_size(
+                        img.shape[0], img.shape[1], compose_scale))
+                corner, img_w = warper.warp(
+                    img, kc_all[i], r_all[i],
+                    dst_roi=(comp_corners[i][0], comp_corners[i][1],
+                             comp_sizes[i][0], comp_sizes[i][1]))
+                mask = np.full((img.shape[0], img.shape[1]), 255, np.uint8)
+                _, mask_w = warper.warp(
+                    jnp.asarray(mask), kc_all[i], r_all[i],
+                    interp="nearest", border="constant",
+                    dst_roi=(comp_corners[i][0], comp_corners[i][1],
+                             comp_sizes[i][0], comp_sizes[i][1]))
 
-            img_w = exposure_mod.apply_gain(compensator, i, corner, img_w)
+                img_w = exposure_mod.apply_gain(compensator, i, corner,
+                                                img_w,
+                                                coord_scale=seam_ratio)
 
-            # dilate seam mask, resize to warped size, AND (:1169-1171).
-            seam_m = dilate3(jnp.asarray(seam_masks[i]))
-            seam_m = resize(seam_m.astype(jnp.float32),
-                            (int(mask_w.shape[0]), int(mask_w.shape[1])))
-            final_mask = (np.asarray(seam_m) > 127) & \
-                (np.asarray(mask_w) > 0)
+                # dilate seam mask, resize to warped size, AND
+                # (:1169-1171).
+                seam_m = dilate3(jnp.asarray(seam_masks[i]))
+                seam_m = resize(seam_m.astype(jnp.float32),
+                                (int(mask_w.shape[0]),
+                                 int(mask_w.shape[1])))
+                final_mask = (np.asarray(seam_m) > 127) & \
+                    (np.asarray(mask_w) > 0)
+
+                if cfg.timelapse:
+                    if timelapser is None:
+                        timelapser = Timelapser(comp_corners, comp_sizes,
+                                                cfg.timelapse_type)
+                    frame = timelapser.process(img_w, None, corner)
+                    out_name = fixed_name(paths[i])
+                    image_io.imwrite(out_name, np.asarray(frame))
+                    timelapse_frames.append(out_name)
+                else:
+                    if blender is None:
+                        blender = make_blender(comp_corners, comp_sizes,
+                                               cfg.blend_type,
+                                               cfg.blend_strength)
+                    blender.feed(img_w, jnp.asarray(final_mask), corner)
 
             if cfg.timelapse:
-                if timelapser is None:
-                    timelapser = Timelapser(comp_corners, comp_sizes,
-                                            cfg.timelapse_type)
-                frame = timelapser.process(img_w, None, corner)
-                out_name = fixed_name(paths[i])
-                image_io.imwrite(out_name, np.asarray(frame))
-                timelapse_frames.append(out_name)
+                pano = np.zeros((1, 1, 3), np.float32)
+                pano_mask = np.zeros((1, 1), bool)
             else:
-                if blender is None:
-                    blender = make_blender(comp_corners, comp_sizes,
-                                           cfg.blend_type,
-                                           cfg.blend_strength)
-                blender.feed(img_w, jnp.asarray(final_mask), corner)
-
-        if cfg.timelapse:
-            pano = np.zeros((1, 1, 3), np.float32)
-            pano_mask = np.zeros((1, 1), bool)
-        else:
-            pano_j, mask_j = blender.blend()
-            pano = np.clip(np.asarray(pano_j), 0, 255)
-            pano_mask = np.asarray(mask_j)
+                pano_j, mask_j = blender.blend()
+                pano = np.clip(np.asarray(pano_j), 0, 255)
+                pano_mask = np.asarray(mask_j)
 
     if cfg.crop_result and not cfg.timelapse:
         pano = crop_fn(pano)
