@@ -33,10 +33,12 @@ def main():
     h = int(os.environ.get("BENCH_H", "1224"))
     w = int(os.environ.get("BENCH_W", "1632"))
 
-    d = tempfile.mkdtemp(prefix="bench_caps_")
-    images, k, rs = make_ring_captures(n_images=n_images, hw=(h, w),
-                                       fov_deg=55, overlap_ratio=0.5)
-    write_capture_dir(d, images, k, rs)
+    cache_root = os.path.expanduser("~/.cache/stitch_bench")
+    d = os.path.join(cache_root, f"caps_{n_images}x{h}x{w}")
+    if not os.path.isdir(d) or len(os.listdir(d)) != n_images:
+        images, k, rs = make_ring_captures(n_images=n_images, hw=(h, w),
+                                           fov_deg=55, overlap_ratio=0.5)
+        write_capture_dir(d, images, k, rs)
     run_dir = tempfile.mkdtemp(prefix="bench_run_")
     os.chdir(run_dir)
 

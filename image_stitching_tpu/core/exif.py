@@ -131,8 +131,12 @@ def read_image_description(path: str) -> Optional[str]:
     """Extract the ImageDescription string from a JPEG or PNG file.
 
     Functional replacement for the libexif walk at
-    `image_stitching.cpp:344-347, :411-416, :525`.
+    `image_stitching.cpp:344-347, :411-416, :525`.  Uses the native C++
+    runtime when built; pure-Python parse otherwise.
     """
+    from . import native
+    if native.available():
+        return native.exif_description(path)
     with open(path, "rb") as f:
         head = f.read(2)
         if head == b"\xff\xd8":  # JPEG: scan APP1 segments for Exif.

@@ -50,9 +50,24 @@ def list_images(directory: str) -> List[str]:
 
 
 def imread(path: str) -> np.ndarray:
-    """Decode to uint8 RGB (H, W, 3)."""
+    """Decode to uint8 RGB (H, W, 3) — native libjpeg/libpng runtime when
+    built, PIL otherwise."""
+    from . import native
+    img = native.read_image(path)
+    if img is not None:
+        return img
     with Image.open(path) as im:
         return np.asarray(im.convert("RGB"))
+
+
+def imread_batch(paths, nthreads: int = 4):
+    """Threaded batch decode via the native runtime (decode overlaps device
+    compute); PIL loop fallback."""
+    from . import native
+    out = native.read_images(list(paths), nthreads)
+    if out is not None:
+        return out
+    return [imread(p) for p in paths]
 
 
 def imwrite(path: str, img: np.ndarray, quality: int = 95) -> None:

@@ -1,0 +1,158 @@
+"""ctypes binding to the C++ host runtime (native/libstitch_runtime.so).
+
+Provides accelerated host-side primitives — threaded JPEG/PNG decode, EXIF
+ImageDescription extraction, union-find components, exact EDT, DP seam —
+with transparent fallback to the pure-Python implementations when the
+shared library has not been built (`make -C native`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["lib", "available", "read_image", "read_images",
+           "exif_description", "biggest_component", "edt_sq", "dp_seam",
+           "write_jpeg"]
+
+_LIB_PATHS = [
+    os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                 "libstitch_runtime.so"),
+    os.path.join(os.path.dirname(__file__), "libstitch_runtime.so"),
+]
+
+lib = None
+for _p in _LIB_PATHS:
+    _p = os.path.abspath(_p)
+    if os.path.exists(_p):
+        try:
+            lib = ctypes.CDLL(_p)
+            break
+        except OSError:
+            lib = None
+
+if lib is not None:
+    c_char_p = ctypes.c_char_p
+    c_int = ctypes.c_int
+    c_double = ctypes.c_double
+    u8_p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    f32_p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    f64_p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    i32_p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+
+    lib.sr_probe_image.argtypes = [c_char_p, ctypes.POINTER(c_int),
+                                   ctypes.POINTER(c_int)]
+    lib.sr_read_image.argtypes = [c_char_p, u8_p, c_int,
+                                  ctypes.POINTER(c_int),
+                                  ctypes.POINTER(c_int)]
+    lib.sr_read_images.argtypes = [c_char_p, c_int, u8_p, c_int, c_int,
+                                   i32_p, i32_p, c_int]
+    lib.sr_write_jpeg.argtypes = [c_char_p, u8_p, c_int, c_int, c_int,
+                                  c_char_p]
+    lib.sr_exif_description.argtypes = [c_char_p, ctypes.c_char_p, c_int]
+    lib.sr_biggest_component.argtypes = [f64_p, c_int, c_double, i32_p]
+    lib.sr_edt_sq.argtypes = [u8_p, c_int, c_int, f32_p]
+    lib.sr_edt_sq.restype = None
+    lib.sr_dp_seam.argtypes = [f32_p, c_int, c_int, i32_p]
+    lib.sr_dp_seam.restype = None
+
+
+def available() -> bool:
+    return lib is not None
+
+
+def read_image(path: str) -> Optional[np.ndarray]:
+    """Decode JPEG/PNG to uint8 RGB; None if unavailable/failed."""
+    if lib is None:
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    if lib.sr_probe_image(path.encode(), ctypes.byref(w),
+                          ctypes.byref(h)) != 0:
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.sr_read_image(path.encode(), out, out.size,
+                           ctypes.byref(w), ctypes.byref(h))
+    return out if rc == 0 else None
+
+
+def read_images(paths: Sequence[str],
+                nthreads: int = 4) -> Optional[List[np.ndarray]]:
+    """Threaded batch decode (decode overlaps device compute)."""
+    if lib is None or not paths:
+        return None
+    dims = []
+    for p in paths:
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        if lib.sr_probe_image(p.encode(), ctypes.byref(w),
+                              ctypes.byref(h)) != 0:
+            return None
+        dims.append((h.value, w.value))
+    max_h = max(d[0] for d in dims)
+    max_w = max(d[1] for d in dims)
+    n = len(paths)
+    out = np.empty((n, max_h, max_w, 3), np.uint8)
+    ws = np.zeros(n, np.int32)
+    hs = np.zeros(n, np.int32)
+    joined = "\n".join(paths).encode()
+    rc = lib.sr_read_images(joined, n, out, max_w, max_h, ws, hs, nthreads)
+    if rc != 0:
+        return None
+    return [np.ascontiguousarray(out[i, :hs[i], :ws[i]]) for i in range(n)]
+
+
+def write_jpeg(path: str, img: np.ndarray, quality: int = 95,
+               exif_description_text: Optional[str] = None) -> bool:
+    if lib is None:
+        return False
+    img = np.ascontiguousarray(img, np.uint8)
+    rc = lib.sr_write_jpeg(
+        path.encode(), img, img.shape[1], img.shape[0], quality,
+        exif_description_text.encode() if exif_description_text else None)
+    return rc == 0
+
+
+def exif_description(path: str) -> Optional[str]:
+    """ImageDescription payload; None when missing or lib unavailable."""
+    if lib is None:
+        return None
+    buf = ctypes.create_string_buffer(65536)
+    rc = lib.sr_exif_description(path.encode(), buf, len(buf))
+    if rc < 0:
+        return None
+    return buf.value.decode("utf-8", errors="replace")
+
+
+def biggest_component(conf: np.ndarray,
+                      thresh: float) -> Optional[List[int]]:
+    if lib is None:
+        return None
+    conf = np.ascontiguousarray(conf, np.float64)
+    n = conf.shape[0]
+    kept = np.zeros(n, np.int32)
+    k = lib.sr_biggest_component(conf, n, thresh, kept)
+    return [int(i) for i in kept[:k]]
+
+
+def edt_sq(mask: np.ndarray) -> Optional[np.ndarray]:
+    """Exact squared distance to the nearest zero pixel, O(HW)."""
+    if lib is None:
+        return None
+    mask = np.ascontiguousarray((np.asarray(mask) > 0).astype(np.uint8))
+    out = np.empty(mask.shape, np.float32)
+    lib.sr_edt_sq(mask, mask.shape[0], mask.shape[1], out)
+    return out
+
+
+def dp_seam(cost: np.ndarray) -> Optional[np.ndarray]:
+    """Min-cost vertical seam columns per row."""
+    if lib is None:
+        return None
+    cost = np.ascontiguousarray(cost, np.float32)
+    out = np.zeros(cost.shape[0], np.int32)
+    lib.sr_dp_seam(cost, cost.shape[0], cost.shape[1], out)
+    return out

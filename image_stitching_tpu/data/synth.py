@@ -38,7 +38,7 @@ def sphere_texture_rgb(lon: np.ndarray, lat: np.ndarray,
     out = np.zeros(lon.shape + (3,), np.float32)
     for c in range(3):
         acc = np.zeros_like(lon, np.float32)
-        for _ in range(8):
+        for _ in range(6):
             fl = rng.integers(1, 9)
             fm = rng.integers(1, 9)
             ph1, ph2 = rng.uniform(0, 2 * np.pi, 2)
@@ -48,7 +48,7 @@ def sphere_texture_rgb(lon: np.ndarray, lat: np.ndarray,
         out[..., c] = acc
     # Corner-rich structure: sharp-edged random lon/lat rectangles (FAST
     # needs strong intensity steps, not smooth gradients).
-    for _ in range(220):
+    for _ in range(120):
         lo = rng.uniform(-np.pi, np.pi)
         la = rng.uniform(-1.35, 1.15)
         dlo = rng.uniform(0.04, 0.35)

@@ -51,6 +51,12 @@ def biggest_component(confidence: np.ndarray,
     """
     confidence = np.asarray(confidence)
     n = confidence.shape[0]
+    from ..core import native
+    if native.available():
+        kept = native.biggest_component(confidence, conf_thresh)
+        if kept is not None:
+            removed = [i for i in range(n) if i not in set(kept)]
+            return kept, removed
     ds = DisjointSets(n)
     for i in range(n):
         for j in range(n):

@@ -152,8 +152,8 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
             priors, is_portrait = _load_priors(paths)
         else:
             priors, is_portrait = None, False
-        full_imgs = [image_io.orient_capture(image_io.imread(p), is_portrait)
-                     for p in paths]
+        full_imgs = [image_io.orient_capture(im, is_portrait)
+                     for im in image_io.imread_batch(paths)]
     full_sizes = [(im.shape[1], im.shape[0]) for im in full_imgs]  # (w, h)
 
     # ---- scales (:589-609) ----

@@ -1,0 +1,109 @@
+"""Tests for the C++ host runtime (skipped when the .so isn't built)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from image_stitching_tpu.core import exif, image_io, native
+from image_stitching_tpu.estimation.components import biggest_component
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native runtime not built")
+
+
+def test_jpeg_roundtrip_with_exif(tmp_path, rng):
+    img = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+    p = str(tmp_path / "0.jpg")
+    payload = "0;1.5;[1.0];[1.0];[1.0];[1.0]"
+    assert native.write_jpeg(p, img, 95, payload)
+    # Native decode == PIL decode (same libjpeg family).
+    mine = native.read_image(p)
+    ref = np.asarray(Image.open(p).convert("RGB"))
+    np.testing.assert_array_equal(mine, ref)
+    # EXIF payload visible to BOTH parsers.
+    assert native.exif_description(p) == payload
+    # Force the pure-Python parser for cross-validation.
+    from image_stitching_tpu.core.exif import _parse_tiff_image_description
+    with open(p, "rb") as f:
+        data = f.read()
+    i = data.find(b"Exif\x00\x00")
+    assert i > 0
+    size = int.from_bytes(data[i - 2:i], "big")
+    assert _parse_tiff_image_description(
+        data[i + 6:i + 4 + size]) == payload
+
+
+def test_png_decode_exact(tmp_path, rng):
+    img = rng.integers(0, 255, (40, 56, 3), dtype=np.uint8)
+    p = str(tmp_path / "1.png")
+    Image.fromarray(img).save(p)
+    np.testing.assert_array_equal(native.read_image(p), img)
+
+
+def test_batch_read_threaded(tmp_path, rng):
+    paths = []
+    imgs = []
+    for i in range(5):
+        img = rng.integers(0, 255, (32 + i, 48, 3), dtype=np.uint8)
+        p = str(tmp_path / f"{i}.png")
+        Image.fromarray(img).save(p)
+        paths.append(p)
+        imgs.append(img)
+    out = native.read_images(paths, nthreads=3)
+    for a, b in zip(out, imgs):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_components_matches_python(rng):
+    n = 12
+    conf = np.zeros((n, n))
+    for (i, j) in [(0, 1), (1, 2), (2, 3), (5, 6), (6, 7), (9, 10)]:
+        conf[i, j] = conf[j, i] = 1.0
+    kept_native = native.biggest_component(conf, 0.95)
+    # Pure python reference.
+    from image_stitching_tpu.estimation.components import DisjointSets
+    ds = DisjointSets(n)
+    for i in range(n):
+        for j in range(n):
+            if i != j and conf[i, j] >= 0.95:
+                ds.merge(i, j)
+    roots = [ds.find(i) for i in range(n)]
+    sizes = {}
+    for r in roots:
+        sizes[r] = sizes.get(r, 0) + 1
+    best = max(sizes, key=lambda r: (sizes[r], -r))
+    kept_py = [i for i in range(n) if roots[i] == best]
+    assert kept_native == kept_py
+
+
+def test_edt_matches_scipy(rng):
+    from scipy import ndimage
+    m = (rng.uniform(size=(50, 70)) > 0.3).astype(np.uint8)
+    m[0, 0] = 0  # ensure a zero exists
+    ours = native.edt_sq(m)
+    ref = ndimage.distance_transform_edt(m) ** 2
+    np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+
+def test_dp_seam_is_optimal_on_simple_grid():
+    # A zero-cost column at x=7 in a field of ones: the seam must follow it.
+    cost = np.ones((20, 15), np.float32)
+    cost[:, 7] = 0.0
+    cols = native.dp_seam(cost)
+    assert (cols == 7).all()
+    # Connectivity constraint.
+    rng = np.random.default_rng(0)
+    cost = rng.uniform(0, 1, (30, 25)).astype(np.float32)
+    cols = native.dp_seam(cost)
+    assert np.abs(np.diff(cols)).max() <= 1
+
+
+def test_imread_dispatch_uses_native(tmp_path, rng):
+    img = rng.integers(0, 255, (24, 36, 3), dtype=np.uint8)
+    p = str(tmp_path / "2.png")
+    Image.fromarray(img).save(p)
+    np.testing.assert_array_equal(image_io.imread(p), img)
+    out = image_io.imread_batch([p, p])
+    assert len(out) == 2
