@@ -17,8 +17,13 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # programs; caching makes warmup a one-time cost across processes.
 try:
     import os as _os
-    _cache = _os.environ.get("IMAGE_STITCHING_TPU_CACHE",
-                             _os.path.expanduser("~/.cache/jax_stitch"))
+    # Separate cache dirs per platform: CPU AOT artifacts compiled in a
+    # TPU-plugin process carry machine-feature flags that mis-execute when
+    # loaded by plain CPU processes (observed as silently wrong results).
+    _plat = _os.environ.get("JAX_PLATFORMS", "default").replace(",", "_")
+    _cache = _os.environ.get(
+        "IMAGE_STITCHING_TPU_CACHE",
+        _os.path.expanduser(f"~/.cache/jax_stitch_{_plat}"))
     _os.makedirs(_cache, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
