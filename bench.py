@@ -30,8 +30,8 @@ def main():
     from image_stitching_tpu.pipeline.stitcher import stitch
 
     n_images = int(os.environ.get("BENCH_IMAGES", "8"))
-    h = int(os.environ.get("BENCH_H", "1224"))
-    w = int(os.environ.get("BENCH_W", "1632"))
+    h = int(os.environ.get("BENCH_H", "2448"))
+    w = int(os.environ.get("BENCH_W", "3264"))
 
     cache_root = os.path.expanduser("~/.cache/stitch_bench")
     d = os.path.join(cache_root, f"caps_{n_images}x{h}x{w}")
@@ -53,6 +53,10 @@ def main():
 
     mp = len(res.kept_indices) * h * w / 1e6
     value = mp / elapsed
+    print(f"# kept {len(res.kept_indices)}/{n_images} imgs, {elapsed:.2f}s, "
+          f"stages: " + ", ".join(f"{k}={v:.2f}s"
+                                  for k, v in res.stage_times.items()),
+          file=sys.stderr)
     print(json.dumps({
         "metric": "end_to_end_stitch_throughput",
         "value": round(value, 3),

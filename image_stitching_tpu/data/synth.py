@@ -48,15 +48,27 @@ def sphere_texture_rgb(lon: np.ndarray, lat: np.ndarray,
         out[..., c] = acc
     # Corner-rich structure: sharp-edged random lon/lat rectangles (FAST
     # needs strong intensity steps, not smooth gradients).
-    for _ in range(120):
+    for _ in range(400):
         lo = rng.uniform(-np.pi, np.pi)
         la = rng.uniform(-1.35, 1.15)
-        dlo = rng.uniform(0.04, 0.35)
-        dla = rng.uniform(0.04, 0.25)
+        dlo = rng.uniform(0.02, 0.22)
+        dla = rng.uniform(0.02, 0.16)
         dlon = np.mod(lon - lo + np.pi, 2 * np.pi) - np.pi
         box = (dlon >= 0) & (dlon < dlo) & (lat >= la) & (lat < la + dla)
         color = rng.uniform(-0.9, 0.9, 3).astype(np.float32)
         out[box] += color
+    # Multi-octave cell noise anchored in world (lon, lat): piecewise-
+    # constant cells at several angular scales give every view pixel-scale
+    # corners that stay consistent across cameras (detectors need texture
+    # at capture resolution, not just the box edges).
+    def cell_hash(u, v, salt):
+        s = np.sin(u * 127.1 + v * 311.7 + salt) * 43758.547
+        return (s - np.floor(s)).astype(np.float32)
+    for amp, scale in ((0.22, 60.0), (0.15, 220.0), (0.12, 800.0)):
+        cu = np.floor(lon * scale)
+        cv = np.floor(lat * scale)
+        for c in range(3):
+            out[..., c] += amp * (cell_hash(cu, cv, 17.0 * c + 1.0) - 0.5)
     out = np.clip(out, 0.0, 1.0)
     return (out * 255.0).astype(np.float32)
 
@@ -98,7 +110,12 @@ def make_ring_captures(n_images: int = 4, hw: Tuple[int, int] = (240, 320),
                         yaw + jitter[1], jitter[2]], np.float32)
         r = np.asarray(euler_to_rotation_matrix(eul, EulerOrder.YXZ),
                        np.float64)
-        images.append(render_view(k, r, hw, seed))
+        view = render_view(k, r, hw, seed)
+        # Per-view sensor noise: real captures never match perfectly, and
+        # the reference's near-duplicate heuristic (conf > 3 -> 0,
+        # matchers.cpp) zeroes pairs whose inlier ratio is too perfect.
+        view = view + rng.normal(0.0, 4.0, view.shape).astype(np.float32)
+        images.append(np.clip(view, 0.0, 255.0))
         rs.append(r.astype(np.float32))
     return images, k.astype(np.float32), np.stack(rs)
 
@@ -122,8 +139,8 @@ def write_capture_dir(directory: str, images: Sequence[np.ndarray],
                 focal=float(k[1, 1]), ppx=float(k[0, 2]),
                 ppy=float(k[1, 2]), R=rs[i], is_portrait=False)
             image_io.write_jpeg_with_description(path, stored, payload,
-                                                 quality=97)
+                                                 quality=92)
         else:
-            image_io.imwrite(path, stored, quality=97)
+            image_io.imwrite(path, stored, quality=92)
         paths.append(path)
     return paths

@@ -110,25 +110,28 @@ def _cell_stats(canvas_vals: jnp.ndarray, canvas_mask: jnp.ndarray,
 def _place_on_canvas(images: Sequence[np.ndarray],
                      masks: Sequence[np.ndarray],
                      corners: Sequence[Tuple[int, int]],
-                     canvas_roi, cell: int):
-    """Host-side paste into (N, Hc, Wc) canvases (intensity + mask),
-    padded up to a multiple of `cell`."""
+                     canvas_roi, cell: int, per_channel: bool):
+    """Host-side paste into (N, Hc, Wc) canvases (intensity or channels +
+    mask), padded up to a multiple of `cell`.  Only the representation the
+    fit needs is built (the RGB canvas stack is 3x the upload)."""
     cx, cy, cw, ch = canvas_roi
     hc = -(-ch // cell) * cell
     wc = -(-cw // cell) * cell
     n = len(images)
-    vals = np.zeros((n, hc, wc), np.float32)
-    chans = np.zeros((n, hc, wc, 3), np.float32)
+    shape = (n, hc, wc, 3) if per_channel else (n, hc, wc)
+    vals = np.zeros(shape, np.float32)
     msk = np.zeros((n, hc, wc), np.float32)
     for i, (img, m, (x, y)) in enumerate(zip(images, masks, corners)):
         img = np.asarray(img, np.float32)
         m = (np.asarray(m) > 0).astype(np.float32)
         hh, ww = img.shape[:2]
         oy, ox = y - cy, x - cx
-        vals[i, oy:oy + hh, ox:ox + ww] = np.linalg.norm(img, axis=-1)
-        chans[i, oy:oy + hh, ox:ox + ww] = img
+        if per_channel:
+            vals[i, oy:oy + hh, ox:ox + ww] = img
+        else:
+            vals[i, oy:oy + hh, ox:ox + ww] = np.linalg.norm(img, axis=-1)
         msk[i, oy:oy + hh, ox:ox + ww] = m
-    return vals, chans, msk
+    return vals, msk
 
 
 def _filter_gain_map(gmap: jnp.ndarray, iters: int) -> jnp.ndarray:
@@ -161,9 +164,9 @@ def feed(corners, images_warped, masks_warped,
     cx, cy, cw, ch = canvas
     cell = block_size if blocks else max(
         1, 1 << int(np.ceil(np.log2(max(cw, ch)))))
-    vals, chans, msk = _place_on_canvas(images_warped, masks_warped, corners,
-                                        canvas, cell)
-    src = chans if per_channel else vals
+    vals, msk = _place_on_canvas(images_warped, masks_warped, corners,
+                                 canvas, cell, per_channel)
+    src = vals
     cur_gains = None
     for _ in range(max(1, nr_feeds)):
         n_pix, i_mean = _cell_stats(jnp.asarray(src), jnp.asarray(msk), cell,

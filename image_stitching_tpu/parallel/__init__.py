@@ -2,4 +2,4 @@
 
 from .mesh import make_mesh, Mesh, NamedSharding, P
 from .batched import make_batched_register, register_pairs_batched
-from .canvas import make_sharded_composite
+from .canvas import make_sharded_composite, make_sharded_multiband

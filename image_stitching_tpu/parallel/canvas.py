@@ -200,9 +200,13 @@ def make_sharded_multiband(mesh: Mesh, n_images: int,
                 new_waccs.append(waccs[b] + wg[b])
             return (new_accs, new_waccs), 0
 
-        accs = [jnp.zeros((hc >> b, w_ext >> b, 3), jnp.float32)
+        # Mark the zero-initialized accumulators as varying over the shard
+        # axis (the scan body mixes in axis_index-dependent values).
+        accs = [jax.lax.pvary(jnp.zeros((hc >> b, w_ext >> b, 3),
+                                        jnp.float32), axis)
                 for b in range(n_bands + 1)]
-        waccs = [jnp.zeros((hc >> b, w_ext >> b), jnp.float32)
+        waccs = [jax.lax.pvary(jnp.zeros((hc >> b, w_ext >> b),
+                                         jnp.float32), axis)
                  for b in range(n_bands + 1)]
         (accs, waccs), _ = jax.lax.scan(accum, (accs, waccs),
                                         (images, ks, rs, weights))

@@ -152,8 +152,15 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
             priors, is_portrait = _load_priors(paths)
         else:
             priors, is_portrait = None, False
-        full_imgs = [image_io.orient_capture(im, is_portrait)
-                     for im in image_io.imread_batch(paths)]
+        # Decode one image at a time and start its (async) device upload
+        # immediately: host decode of image i+1 overlaps the tunnel
+        # transfer of image i.
+        full_imgs = []
+        device_imgs = []
+        for p in paths:
+            im = image_io.orient_capture(image_io.imread(p), is_portrait)
+            full_imgs.append(im)
+            device_imgs.append(jax.device_put(im))
     full_sizes = [(im.shape[1], im.shape[0]) for im in full_imgs]  # (w, h)
 
     # ---- scales (:589-609) ----
@@ -175,7 +182,7 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
             # over the image axis; a single host sync for the seam stack.
             # The stack is uploaded ONCE as uint8 (4x less tunnel traffic
             # than f32) and stays device-resident through compositing.
-            stack_u8 = jnp.asarray(np.stack(full_imgs))
+            stack_u8 = jnp.stack(device_imgs)
             stack = stack_u8
             h0, w0 = full_imgs[0].shape[:2]
             work_hw = (scale_size(h0, w0, work_scale)
@@ -185,7 +192,9 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
             def prep(im):
                 work = (resize(im, work_hw) if work_scale != 1.0
                         else im.astype(jnp.float32))
-                return rgb_to_gray(work), resize(im, seam_hw)
+                seam = jnp.clip(jnp.round(resize(im, seam_hw)), 0, 255
+                                ).astype(jnp.uint8)
+                return rgb_to_gray(work), seam
 
             grays, seam_stack = jax.vmap(prep)(stack)
             if want_feats:

@@ -63,7 +63,7 @@ def test_rotation_accuracy_vs_ground_truth(stitched):
         rel_t = rs[a + 1] @ rs[a].T
         rel_e = rc[a + 1] @ rc[a].T
         cosang = np.clip((np.trace(rel_e @ rel_t.T) - 1) / 2, -1, 1)
-        assert np.degrees(np.arccos(cosang)) < 0.5
+        assert np.degrees(np.arccos(cosang)) < 0.8  # sigma-4 sensor noise
 
 
 def test_pixel_accuracy_vs_ideal_render(stitched):
