@@ -225,15 +225,130 @@ def _free_mask(n_cams: int, refine_mask: str) -> np.ndarray:
     return np.tile(per_cam, n_cams)
 
 
+@functools.partial(jax.jit, static_argnames=("n_cams", "max_iters"))
+def _affine_lm_solve(params, cam_i, cam_j, p_i, p_j, w, *, n_cams: int,
+                     max_iters: int):
+    """LM over per-camera similarities (BundleAdjusterAffinePartial).
+
+    params: (N, 4) = (a, b, tx, ty) with A = [[a,-b,tx],[b,a,ty],[0,0,1]]
+    mapping image coords into the common frame; residual = transfer error
+    of each correspondence through A_j^-1 A_i, evaluated in image j.
+    """
+    def apply_a(p4, xy):
+        a, b, tx, ty = p4[0], p4[1], p4[2], p4[3]
+        return jnp.array([a * xy[0] - b * xy[1] + tx,
+                          b * xy[0] + a * xy[1] + ty])
+
+    def apply_a_inv(p4, xy):
+        a, b, tx, ty = p4[0], p4[1], p4[2], p4[3]
+        det = jnp.maximum(a * a + b * b, 1e-12)
+        dx, dy = xy[0] - tx, xy[1] - ty
+        return jnp.array([(a * dx + b * dy) / det,
+                          (-b * dx + a * dy) / det])
+
+    def residual(pvec8, pi, pj):
+        q = apply_a_inv(pvec8[4:], apply_a(pvec8[:4], pi))
+        return pj - q
+
+    def normal_eqs(params):
+        def per_corr(ci, cj, pi, pj, wi):
+            pvec = jnp.concatenate([params[ci], params[cj]])
+            r = residual(pvec, pi, pj) * wi
+            jac = jax.jacfwd(residual)(pvec, pi, pj) * wi
+            return r, jac
+        res, jacs = jax.vmap(per_corr)(cam_i, cam_j, p_i, p_j, w)
+        four = jnp.arange(4, dtype=jnp.int32)
+        idx = jnp.concatenate([cam_i[:, None] * 4 + four[None],
+                               cam_j[:, None] * 4 + four[None]], axis=1)
+        p_total = n_cams * 4
+        jtj = jnp.zeros((p_total, p_total), jnp.float32)
+        jtj = jtj.at[idx[:, :, None], idx[:, None, :]].add(
+            jnp.einsum("qri,qrj->qij", jacs, jacs))
+        jtr = jnp.zeros((p_total,), jnp.float32)
+        jtr = jtr.at[idx].add(jnp.einsum("qri,qr->qi", jacs, res))
+        # Gauge fix: freeze camera 0 (the global similarity is free).
+        freeze = jnp.arange(p_total) < 4
+        jtj = jnp.where(freeze[:, None] | freeze[None, :], 0.0, jtj)
+        jtj = jtj + jnp.diag(jnp.where(freeze, 1.0, 0.0))
+        jtr = jnp.where(freeze, 0.0, jtr)
+        return jnp.sum(res * res), jtj, jtr
+
+    def eval_cost(params):
+        def per_corr(ci, cj, pi, pj, wi):
+            pvec = jnp.concatenate([params[ci], params[cj]])
+            return residual(pvec, pi, pj) * wi
+        r = jax.vmap(per_corr)(cam_i, cam_j, p_i, p_j, w)
+        return jnp.sum(r * r)
+
+    c0, jtj, jtr = normal_eqs(params)
+    state = (params, jnp.float32(1e-3), c0, jtj, jtr, jnp.int32(0),
+             jnp.bool_(False))
+
+    def cond(s):
+        _, lam, _, _, _, it, done = s
+        return (~done) & (it < max_iters) & (lam < 1e6)
+
+    def step(s):
+        p, lam, c, jtj, jtr, it, done = s
+        diag = jnp.diag(jtj)
+        precond = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-8))
+        a = jtj * precond[:, None] * precond[None, :] + \
+            lam * jnp.eye(jtj.shape[0])
+        stp = precond * jnp.linalg.solve(a, precond * jtr)
+        new_p = p - stp.reshape(p.shape)
+        new_c = eval_cost(new_p)
+        accept = jnp.isfinite(new_c) & (new_c < c)
+        p2 = jnp.where(accept, new_p, p)
+        lam2 = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-7), lam * 10.0)
+        converged = accept & ((c - new_c) < 1e-9 * (1.0 + new_c))
+        c2, jtj2, jtr2 = jax.lax.cond(accept, normal_eqs,
+                                      lambda q: (c, jtj, jtr), p2)
+        return (p2, lam2, c2, jtj2, jtr2, it + 1, converged)
+
+    params, _, _, _, _, _, _ = jax.lax.while_loop(cond, step, state)
+    return params
+
+
+def _affine_bundle_adjust(cams: Cameras, problem: BAProblem,
+                          max_iters: int) -> Cameras:
+    """cams.R holds per-camera 3x3 affine transforms (affine pipeline)."""
+    r = np.asarray(cams.R, np.float32)
+    params = np.stack([r[:, 0, 0], r[:, 1, 0], r[:, 0, 2], r[:, 1, 2]],
+                      axis=1)
+    out = np.asarray(_affine_lm_solve(
+        jnp.asarray(params), jnp.asarray(problem.cam_i),
+        jnp.asarray(problem.cam_j), jnp.asarray(problem.p_i),
+        jnp.asarray(problem.p_j), jnp.asarray(problem.w),
+        n_cams=len(cams), max_iters=max_iters))
+    if not np.all(np.isfinite(out)):
+        raise RuntimeError("Camera parameters adjusting failed.")
+    a, b, tx, ty = out[:, 0], out[:, 1], out[:, 2], out[:, 3]
+    n = len(cams)
+    rs = np.zeros((n, 3, 3), np.float32)
+    rs[:, 0, 0] = a
+    rs[:, 0, 1] = -b
+    rs[:, 0, 2] = tx
+    rs[:, 1, 0] = b
+    rs[:, 1, 1] = a
+    rs[:, 1, 2] = ty
+    rs[:, 2, 2] = 1.0
+    return Cameras(focal=cams.focal, aspect=cams.aspect, ppx=cams.ppx,
+                   ppy=cams.ppy, R=rs, t=cams.t)
+
+
 def bundle_adjust(cams: Cameras, problem: Optional[BAProblem],
                   cost_func: str = "reproj", refine_mask: str = "_____",
                   max_iters: int = 25) -> Cameras:
-    """LM-refine cameras.  cost_func in {'reproj', 'ray', 'no'}.
+    """LM-refine cameras.  cost_func in {'reproj', 'ray', 'affine', 'no'}.
 
     Unknown cost funcs raise (parity with `:689-693`); 'no' or an empty
-    problem returns the seed cameras unchanged (NoBundleAdjuster)."""
+    problem returns the seed cameras unchanged (NoBundleAdjuster);
+    'affine' runs BundleAdjusterAffinePartial semantics over per-camera
+    similarities stored in R."""
     if cost_func == "no" or problem is None:
         return cams
+    if cost_func == "affine":
+        return _affine_bundle_adjust(cams, problem, max_iters)
     if cost_func not in ("reproj", "ray"):
         raise ValueError(
             f"Unknown bundle adjustment cost function: '{cost_func}'")

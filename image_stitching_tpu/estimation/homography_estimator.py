@@ -133,6 +133,30 @@ def estimate_rotations_from_homographies(
     return np.stack([np.asarray(r, np.float32) for r in rs])
 
 
+def affine_based_estimate(pair_matches, image_sizes,
+                          conf_thresh: float = 0.0) -> Cameras:
+    """cv::detail::AffineBasedEstimator: chain pairwise affine transforms
+    over the max spanning tree; camera.R holds each image's 3x3 affine
+    into the common frame (A_j = A_i @ H_ij^-1 with H_ij mapping i -> j)."""
+    conf = np.asarray(pair_matches.confidence)
+    h = np.asarray(pair_matches.h)
+    n = conf.shape[0]
+    weight = np.asarray(pair_matches.num_inliers) * (conf > conf_thresh)
+    rs = [None] * n
+    rs[0] = np.eye(3, dtype=np.float64)
+    for (u, v) in _max_spanning_tree(weight):
+        h_uv = np.asarray(h[u, v], np.float64)
+        h_uv = h_uv / h_uv[2, 2]
+        rs[v] = rs[u] @ np.linalg.inv(h_uv)
+    return Cameras(
+        focal=np.ones(n, np.float32),
+        aspect=np.ones(n, np.float32),
+        ppx=np.zeros(n, np.float32),
+        ppy=np.zeros(n, np.float32),
+        R=np.stack([np.asarray(r, np.float32) for r in rs]),
+        t=np.zeros((n, 3), np.float32))
+
+
 def homography_based_estimate(pair_matches, image_sizes,
                               conf_thresh: float = 0.0) -> Cameras:
     """Full estimator: focals + rotations + center principal points."""

@@ -242,6 +242,12 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
                     match_conf=cfg.match_conf, matcher_type=cfg.matcher_type,
                     range_width=cfg.range_width)
                 pm = jax.tree.map(np.asarray, pm)
+            if cfg.save_graph and cfg.save_graph_to:
+                from ..estimation import matches_graph_dot
+                with open(cfg.save_graph_to, "w") as gf:
+                    gf.write(matches_graph_dot(
+                        paths, pm.confidence, pm.num_inliers,
+                        np.sum(pm.valid, axis=-1), cfg.conf_thresh))
             indices, removed = biggest_component(pm.confidence,
                                                  cfg.conf_thresh)
             if removed:
@@ -261,7 +267,7 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
         if cfg.serialize_data:
             # Seed cameras: sensor priors when present, else homography
             # bootstrap (the reference's dead-path estimator capability).
-            if cameras_all is not None:
+            if cameras_all is not None and cfg.estimator_type != "affine":
                 seed_cams = cameras_all[np.asarray(indices)]
             else:
                 sub = np.ix_(indices, indices)
@@ -271,8 +277,13 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
                 sizes_sub = [
                     scale_size(full_sizes[i][1], full_sizes[i][0],
                                work_scale) for i in indices]
-                seed_cams = homography_based_estimate(
-                    pm_sub, sizes_sub, cfg.conf_thresh)
+                if cfg.estimator_type == "affine":
+                    from ..estimation import affine_based_estimate
+                    seed_cams = affine_based_estimate(
+                        pm_sub, sizes_sub, cfg.conf_thresh)
+                else:
+                    seed_cams = homography_based_estimate(
+                        pm_sub, sizes_sub, cfg.conf_thresh)
             with stage_timer("Bundle adjustment", times):
                 sub = np.ix_(indices, indices)
                 pm_sub = jax.tree.map(
