@@ -17,16 +17,18 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # programs; caching makes warmup a one-time cost across processes.
 try:
     import os as _os
-    # Separate cache dirs per platform: CPU AOT artifacts compiled in a
-    # TPU-plugin process carry machine-feature flags that mis-execute when
-    # loaded by plain CPU processes (observed as silently wrong results).
-    _plat = _os.environ.get("JAX_PLATFORMS", "default").replace(",", "_")
-    _cache = _os.environ.get(
-        "IMAGE_STITCHING_TPU_CACHE",
-        _os.path.expanduser(f"~/.cache/jax_stitch_{_plat}"))
-    _os.makedirs(_cache, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", _cache)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # Persistent cache for TPU only: XLA:CPU AOT artifacts carry host
+    # machine-feature flags that can mis-execute when reloaded under a
+    # different feature profile (observed as silently wrong results), and
+    # CPU compiles are cheap anyway.
+    if "cpu" not in _os.environ.get("JAX_PLATFORMS", "axon"):
+        _cache = _os.environ.get(
+            "IMAGE_STITCHING_TPU_CACHE",
+            _os.path.expanduser("~/.cache/jax_stitch_tpu"))
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           0.5)
 except Exception:  # pragma: no cover - cache is best-effort
     pass
 

@@ -72,6 +72,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-features", type=int, default=d.num_features)
     p.add_argument("--checkpoint-dir", default=d.checkpoint_dir)
     p.add_argument("--seed", type=int, default=d.seed)
+    p.add_argument("--infill-dropped", action="store_true",
+                   help="recover removed images from nearest-neighbor "
+                        "refined poses (requires EXIF priors)")
+    p.add_argument("--checkpoint-npz", action="store_true")
+    p.add_argument("--save-graph", metavar="DOT",
+                   help="write the match graph as Graphviz DOT")
+    p.add_argument("--profile-dir", default="",
+                   help="emit a jax.profiler trace here")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -113,6 +121,11 @@ def config_from_args(args) -> StitchConfig:
         num_features=args.num_features,
         checkpoint_dir=args.checkpoint_dir,
         seed=args.seed,
+        infill_dropped=args.infill_dropped,
+        checkpoint_npz=args.checkpoint_npz,
+        save_graph=bool(args.save_graph),
+        save_graph_to=args.save_graph or "",
+        profile_dir=args.profile_dir,
     )
 
 

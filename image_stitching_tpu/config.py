@@ -91,6 +91,11 @@ class StitchConfig:
     use_sensor_priors: bool = True   # EXIF ImageDescription ingestion (:340-528)
     checkpoint_dir: str = "."        # where cams.data / indices.data live
     seed: int = 0                    # RANSAC determinism
+    infill_dropped: bool = False     # nearest-neighbor pose recovery for
+                                     # removed images (dead-path :754-866)
+    checkpoint_npz: bool = False     # also write cameras.npz next to
+                                     # cams.data (binary checkpoint)
+    profile_dir: str = ""            # jax.profiler trace output directory
 
     def replace(self, **kw) -> "StitchConfig":
         return dataclasses.replace(self, **kw)

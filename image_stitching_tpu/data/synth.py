@@ -120,6 +120,34 @@ def make_ring_captures(n_images: int = 4, hw: Tuple[int, int] = (240, 320),
     return images, k.astype(np.float32), np.stack(rs)
 
 
+def make_rig_captures(hw: Tuple[int, int] = (240, 320),
+                      fov_deg: float = 68.0, rig: CaptureRig = DEFAULT_RIG,
+                      seed: int = 7, noise_sigma: float = 4.0,
+                      n_images: Optional[int] = None):
+    """Render the reference's full capture rig: 37 images in 5 pitch rings
+    ({0, 34, 72, -36, -72} deg holding {11, 9, 4, 9, 4} images —
+    `image_stitching.cpp:96-102`), with per-image yaw from the rig's own
+    `rotation_prior`.  Returns (images, K, Rs)."""
+    h, w = hw
+    focal = (w / 2.0) / math.tan(math.radians(fov_deg) / 2.0)
+    k = np.array([[focal, 0, w / 2.0], [0, focal, h / 2.0], [0, 0, 1]],
+                 np.float64)
+    rng = np.random.default_rng(seed)
+    n = rig.total_images if n_images is None else n_images
+    images, rs = [], []
+    for i in range(n):
+        pitch, yaw, roll = rig.rotation_prior(i)
+        eul = np.array([pitch, yaw, roll], np.float32)
+        r = np.asarray(euler_to_rotation_matrix(eul, EulerOrder.YXZ),
+                       np.float64)
+        view = render_view(k, r, hw, seed)
+        view = view + rng.normal(0.0, noise_sigma, view.shape).astype(
+            np.float32)
+        images.append(np.clip(view, 0.0, 255.0))
+        rs.append(r.astype(np.float32))
+    return images, k.astype(np.float32), np.stack(rs)
+
+
 def write_capture_dir(directory: str, images: Sequence[np.ndarray],
                       k: np.ndarray, rs: np.ndarray,
                       with_exif: bool = True) -> List[str]:

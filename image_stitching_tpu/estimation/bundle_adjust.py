@@ -128,7 +128,20 @@ def _residual_one(pi, pj, cam_a, cam_b, cost: str):
     kb = make_k(fb, ab, pxb, pyb)
     q = kb @ (rb.T @ ray)
     qz = jnp.where(jnp.abs(q[2]) < 1e-12, 1e-12, q[2])
-    return jnp.array([pj[0] - q[0] / qz, pj[1] - q[1] / qz])
+    r = jnp.array([pj[0] - q[0] / qz, pj[1] - q[1] / qz])
+    # Redescending (Tukey-style) robust weight, c = 48 px: correspondences
+    # from spurious-but-confident pairs (repetitive texture) start hundreds
+    # of px off when seeded from priors and would otherwise drag every
+    # rotation; beyond c they exert zero force.  RANSAC inliers sit at
+    # <= 3 px where the weight is within 0.5% of 1, so clean problems are
+    # numerically unchanged vs OpenCV's plain LM.
+    c = 48.0
+    nrm2 = jnp.sum(r * r)
+    # IRLS: the weight is a constant at each linearization point
+    # (stop_gradient), otherwise the redescending w'(r) term flips descent
+    # directions and LM stalls.
+    w_rob = jax.lax.stop_gradient(jnp.maximum(0.0, 1.0 - nrm2 / (c * c)))
+    return r * w_rob
 
 
 @functools.partial(jax.jit, static_argnames=("cost", "n_cams"))

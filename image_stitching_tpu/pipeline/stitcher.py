@@ -139,6 +139,9 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
     is not explicitly disabled with output="".
     """
     times: Dict[str, float] = {}
+    profiler_on = bool(cfg.profile_dir)
+    if profiler_on:
+        jax.profiler.start_trace(cfg.profile_dir)
     if isinstance(source, str):
         paths = image_io.list_images(source)
     else:
@@ -178,17 +181,16 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
     with stage_timer("Finding features", times):
         stack_u8 = None
         if uniform:
-            # One batched device program: resize + gray + detect, vmapped
-            # over the image axis; a single host sync for the seam stack.
-            # The stack is uploaded ONCE as uint8 (4x less tunnel traffic
-            # than f32) and stays device-resident through compositing.
-            stack_u8 = jnp.stack(device_imgs)
-            stack = stack_u8
+            # Streamed per-image programs: each image's resize + gray +
+            # detect is dispatched as soon as its (async) upload is queued,
+            # so device work overlaps the next image's JPEG decode.  One
+            # host sync at the end collects the seam stack.
             h0, w0 = full_imgs[0].shape[:2]
             work_hw = (scale_size(h0, w0, work_scale)
                        if work_scale != 1.0 else (h0, w0))
             seam_hw = scale_size(h0, w0, seam_scale)
 
+            @jax.jit
             def prep(im):
                 work = (resize(im, work_hw) if work_scale != 1.0
                         else im.astype(jnp.float32))
@@ -196,18 +198,19 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
                                 ).astype(jnp.uint8)
                 return rgb_to_gray(work), seam
 
-            grays, seam_stack = jax.vmap(prep)(stack)
-            if want_feats:
-                fstacked = jax.vmap(
-                    lambda g: detect_features(g, cfg))(grays)
-                feats = [fstacked[i] for i in range(n)]
-            seam_np = np.asarray(seam_stack)
+            seam_list = []
+            for im_dev in device_imgs:
+                gray, seam = prep(im_dev)
+                if want_feats:
+                    feats.append(detect_features(gray, cfg))
+                seam_list.append(seam)
+            stack_u8 = jnp.stack(device_imgs)
+            seam_np = np.asarray(jnp.stack(seam_list))
             seam_imgs = [seam_np[i] for i in range(n)]
             if want_feats and logger.isEnabledFor(20):
-                counts = np.asarray(fstacked.count())
-                for i in range(n):
+                for i, f in enumerate(feats):
                     logger.info("Features in image #%d: %d", i + 1,
-                                int(counts[i]))
+                                int(f.count()))
         else:
             for im in full_imgs:
                 imj = jnp.asarray(im)
@@ -298,6 +301,23 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
                                         refine_mask=cfg.ba_refine_mask)
             persistence.serialize_camera_params(cameras, cfg.checkpoint_dir)
             persistence.serialize_indices(indices, cfg.checkpoint_dir)
+            if cfg.checkpoint_npz:
+                np.savez(os.path.join(cfg.checkpoint_dir, "cameras.npz"),
+                         focal=np.asarray(cameras.focal),
+                         aspect=np.asarray(cameras.aspect),
+                         ppx=np.asarray(cameras.ppx),
+                         ppy=np.asarray(cameras.ppy),
+                         R=np.asarray(cameras.R), t=np.asarray(cameras.t),
+                         indices=np.asarray(indices))
+            if cfg.infill_dropped and cameras_all is not None and \
+                    len(indices) < n:
+                from ..estimation import infill_dropped_cameras
+                from ..core.rig import DEFAULT_RIG
+                rig = (DEFAULT_RIG
+                       if n == DEFAULT_RIG.total_images else None)
+                cameras = infill_dropped_cameras(cameras_all, cameras,
+                                                 indices, rig)
+                indices = list(range(n))
         else:
             cameras = persistence.deserialize_camera_params(
                 cfg.checkpoint_dir)
@@ -497,4 +517,6 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
         out = output if output is not None else cfg.result_name
         if out:
             image_io.imwrite(out, pano)
+    if profiler_on:
+        jax.profiler.stop_trace()
     return result
