@@ -232,9 +232,30 @@ def _orb_impl(gray: jnp.ndarray, pattern: jnp.ndarray, *, n_features: int,
         rank = jnp.where(cand, harris, -jnp.inf).reshape(-1)
         top_vals, top_idx = jax.lax.top_k(rank, k_l)
         valid = top_vals > -jnp.inf
-        ky = (top_idx // lw).astype(jnp.float32)
-        kx = (top_idx % lw).astype(jnp.float32)
-        xy_l = jnp.stack([kx, ky], -1)
+        kyi = (top_idx // lw).astype(jnp.int32)
+        kxi = (top_idx % lw).astype(jnp.int32)
+        # Subpixel refinement: 1D quadratic fit on the Harris surface per
+        # axis (dx = (h[-1]-h[+1]) / (2*(h[-1]-2*h[0]+h[+1]))), clamped to
+        # half a pixel.  Integer keypoints alone cap reprojection accuracy
+        # at ~0.3px RMS; this is the cheap half of that budget.
+        hpad = jnp.pad(harris, 1, mode="edge")
+        hc = hpad[kyi + 1, kxi + 1]
+        hl = hpad[kyi + 1, kxi]
+        hr = hpad[kyi + 1, kxi + 2]
+        ht = hpad[kyi, kxi + 1]
+        hb = hpad[kyi + 2, kxi + 1]
+        denx = hl - 2.0 * hc + hr
+        deny = ht - 2.0 * hc + hb
+        dx = jnp.where(jnp.abs(denx) > 1e-12,
+                       0.5 * (hl - hr) / jnp.where(jnp.abs(denx) > 1e-12,
+                                                   denx, 1.0), 0.0)
+        dy = jnp.where(jnp.abs(deny) > 1e-12,
+                       0.5 * (ht - hb) / jnp.where(jnp.abs(deny) > 1e-12,
+                                                   deny, 1.0), 0.0)
+        dx = jnp.clip(dx, -0.5, 0.5)
+        dy = jnp.clip(dy, -0.5, 0.5)
+        xy_l = jnp.stack([kxi.astype(jnp.float32) + dx,
+                          kyi.astype(jnp.float32) + dy], -1)
 
         angle = _orientations(img_l, xy_l, patch_size // 2)
         img_blur = gaussian_blur(img_l, 2.0, 3)

@@ -110,13 +110,15 @@ def _two_nn(dist: jnp.ndarray, valid_b: jnp.ndarray):
 
 
 def _two_nn_hamming(desc_a, desc_b, valid_b):
-    """2-NN over binary descriptors: fused Pallas kernel on TPU (7.7x over
-    the XLA matmul+top_k at K=4096 — the (K,K) matrix never hits HBM),
-    XLA formulation elsewhere."""
-    if jax.default_backend() == "tpu":
-        from ..kernels.hamming_pallas import hamming_two_nn_pallas
-        i1, d1, i2, d2 = hamming_two_nn_pallas(desc_a, desc_b, valid_b)
-        return i1, d1, i2, d2
+    """2-NN over binary descriptors via the XLA bit-plane matmul + top_k.
+
+    An experimental fused Pallas kernel lives in kernels.hamming_pallas;
+    honest fresh-input benchmarks on v5e put XLA far ahead (0.26ms vs 73ms
+    at K=4096: XLA streams the 64MB distance matrix at HBM speed while the
+    kernel's serial B-tile loop defeats DMA pipelining), so the XLA path
+    is the production one.  Beware: the axon runtime memoizes executions
+    on identical input buffers — benchmark kernels with fresh inputs.
+    """
     return _two_nn(hamming_matrix(desc_a, desc_b).astype(jnp.float32),
                    valid_b)
 

@@ -104,9 +104,17 @@ def ransac_homography(src: jnp.ndarray, dst: jnp.ndarray,
     t = jnp.array([[1.0 / scale, 0, 0], [0, 1.0 / scale, 0], [0, 0, 1.0]])
     tinv = jnp.array([[scale, 0, 0], [0, scale, 0], [0, 0, 1.0]])
     a = jax.vmap(build)(s4 / scale, d4 / scale)            # (n_hyp, 8, 9)
-    ata = jnp.einsum("nri,nrj->nij", a, a)                 # (n_hyp, 9, 9)
-    _, evecs = jnp.linalg.eigh(ata)
-    h_n = evecs[..., 0].reshape(-1, 3, 3)
+    # Minimal solve with h22 pinned to 1: an (8, 8) batched LU solve is an
+    # order of magnitude faster on TPU than eigh/SVD of the normal matrix.
+    # Hypotheses where h22 ~ 0 come out singular and lose the vote anyway.
+    a8 = a[:, :, :8]
+    b8 = -a[:, :, 8]
+    eye8 = 1e-9 * jnp.eye(8)
+    h8 = jnp.linalg.solve(
+        jnp.einsum("nri,nrj->nij", a8, a8) + eye8,
+        jnp.einsum("nri,nr->ni", a8, b8)[..., None])[..., 0]
+    h_n = jnp.concatenate([h8, jnp.ones((h8.shape[0], 1), h8.dtype)],
+                          axis=1).reshape(-1, 3, 3)
     h_all = jnp.einsum("ij,njk,kl->nil", tinv, h_n, t)
 
     # Score hypotheses on a bounded subsample of the correspondences
