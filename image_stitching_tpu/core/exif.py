@@ -77,13 +77,16 @@ def sensor_prior_to_camera(prior: SensorPrior):
         ppx, ppy = float(k[0, 2]), float(k[1, 2])
     R = prior.cam_transform[:3, :3].astype(np.float64)
     t = prior.cam_transform[:3, 3].astype(np.float64)
-    q = np.asarray(quat.from_rotation_matrix(R))
-    x, y, z, w = q
+    # Pure-numpy quaternion math (scipy also uses [x, y, z, w]): EXIF
+    # ingestion must never touch the device — the first tiny device op in
+    # a process can stall minutes through the tunnel.
+    from scipy.spatial.transform import Rotation as _R
+    x, y, z, w = _R.from_matrix(R).as_quat()
     if prior.is_portrait:
-        q2 = np.array([y, x, -z, w])
+        q2 = [y, x, -z, w]
     else:
-        q2 = np.array([-x, y, -z, w])
-    R2 = np.asarray(quat.to_rotation_matrix(q2))
+        q2 = [-x, y, -z, w]
+    R2 = _R.from_quat(q2).as_matrix()
     return focal, 1.0, ppx, ppy, R2.astype(np.float32), t.astype(np.float32)
 
 
@@ -199,13 +202,13 @@ def camera_to_image_description(focal: float, ppx: float, ppy: float,
     target q (the remap is an involution), portrait swaps (y, x, -z, w).
     """
     R = np.asarray(R, dtype=np.float64)
-    q = np.asarray(quat.from_rotation_matrix(R))
-    x, y, z, w = q
+    from scipy.spatial.transform import Rotation as _R
+    x, y, z, w = _R.from_matrix(R).as_quat()
     if is_portrait:
-        q_payload = np.array([y, x, -z, w])
+        q_payload = [y, x, -z, w]
     else:
-        q_payload = np.array([-x, y, -z, w])
-    R_payload = np.asarray(quat.to_rotation_matrix(q_payload))
+        q_payload = [-x, y, -z, w]
+    R_payload = _R.from_quat(q_payload).as_matrix()
     cam_t = np.eye(4)
     cam_t[:3, :3] = R_payload
     if t is not None:

@@ -79,12 +79,21 @@ def pack_correspondences(feats, pair_matches, conf_thresh: float,
             p_j.append(xy[j][b_idx[i, j][rows]])
     if not cam_i:
         return None
+    q = sum(len(c) for c in cam_i)
+    # Bucket the table size (next power of two, min 256): Q varies with
+    # the data, and every distinct Q would recompile the ~40s LM program.
+    bucket = 256
+    while bucket < q:
+        bucket *= 2
+    pad = bucket - q
     return BAProblem(
-        cam_i=np.concatenate(cam_i),
-        cam_j=np.concatenate(cam_j),
-        p_i=np.concatenate(p_i).astype(np.float32),
-        p_j=np.concatenate(p_j).astype(np.float32),
-        w=np.ones(sum(len(c) for c in cam_i), np.float32),
+        cam_i=np.pad(np.concatenate(cam_i), (0, pad)),
+        cam_j=np.pad(np.concatenate(cam_j), (0, pad), constant_values=1),
+        p_i=np.pad(np.concatenate(p_i).astype(np.float32),
+                   ((0, pad), (0, 0))),
+        p_j=np.pad(np.concatenate(p_j).astype(np.float32),
+                   ((0, pad), (0, 0))),
+        w=np.pad(np.ones(q, np.float32), (0, pad)),  # zero-weight padding
     )
 
 
@@ -112,14 +121,14 @@ def _residual_one(pi, pj, cam_a, cam_b, cost: str):
     fb, pxb, pyb, ab = cam_b[0], cam_b[1], cam_b[2], cam_b[3]
     ra = rodrigues_to_matrix(cam_a[4:7])
     rb = rodrigues_to_matrix(cam_b[4:7])
-    ka = make_k(fa, aa, pxa, pya)
-    # Unit ray of p_i in the panorama frame: R_a K_a^-1 p.
-    pa = jnp.array([pi[0], pi[1], 1.0])
-    ray = ra @ jnp.linalg.solve(ka, pa)
+    # Unit ray of p_i in the panorama frame: R_a K_a^-1 p, with the
+    # analytic K^-1 (a per-correspondence jnp.linalg.solve lowers to a
+    # batched tiny LU — the dominant cost of the whole BA on TPU).
+    pa = jnp.array([(pi[0] - pxa) / fa, (pi[1] - pya) / (fa * aa), 1.0])
+    ray = ra @ pa
     if cost == "ray":
-        kb = make_k(fb, ab, pxb, pyb)
-        pb = jnp.array([pj[0], pj[1], 1.0])
-        ray2 = rb @ jnp.linalg.solve(kb, pb)
+        pb = jnp.array([(pj[0] - pxb) / fb, (pj[1] - pyb) / (fb * ab), 1.0])
+        ray2 = rb @ pb
         d1 = ray / jnp.maximum(jnp.linalg.norm(ray), 1e-12)
         d2 = ray2 / jnp.maximum(jnp.linalg.norm(ray2), 1e-12)
         mult = jnp.sqrt(jnp.abs(fa * fb))
@@ -158,23 +167,60 @@ def _lm_normal_eqs(params, cam_i, cam_j, p_i, p_j, w, free_mask, *,
         return r * wi, jac * wi
 
     res, jacs = jax.vmap(per_corr)(cam_i, cam_j, p_i, p_j, w)
-    # Parameter indices per correspondence: (Q, 14).
-    seven = jnp.arange(7, dtype=jnp.int32)
-    idx = jnp.concatenate([cam_i[:, None] * 7 + seven[None],
-                           cam_j[:, None] * 7 + seven[None]], axis=1)
+    # Assemble the (7N, 7N) normal equations densely via one-hot einsums:
+    # XLA scatter-add of (Q, 14, 14) blocks costs ~84ms/iteration on TPU,
+    # the dense contraction is microseconds at these sizes.
     p_total = n_cams * 7
-    jtj_blocks = jnp.einsum("qri,qrj->qij", jacs, jacs)   # (Q, 14, 14)
-    jtr_blocks = jnp.einsum("qri,qr->qi", jacs, res)      # (Q, 14)
-    jtj = jnp.zeros((p_total, p_total), jnp.float32)
-    jtj = jtj.at[idx[:, :, None], idx[:, None, :]].add(jtj_blocks)
-    jtr = jnp.zeros((p_total,), jnp.float32)
-    jtr = jtr.at[idx].add(jtr_blocks)
+    oh_i = jax.nn.one_hot(cam_i, n_cams, dtype=jnp.float32)   # (Q, N)
+    oh_j = jax.nn.one_hot(cam_j, n_cams, dtype=jnp.float32)
+    jtj_blocks = jnp.einsum("qri,qrj->qij", jacs, jacs)       # (Q, 14, 14)
+    jtr_blocks = jnp.einsum("qri,qr->qi", jacs, res)          # (Q, 14)
+
+    def blocks(sel_a, sel_b, sl_a, sl_b):
+        # (N, N, 7, 7) accumulation of the chosen 7x7 quadrant.
+        return jnp.einsum("qa,qb,qij->abij", sel_a, sel_b,
+                          jtj_blocks[:, sl_a, sl_b])
+
+    s_i, s_j = slice(0, 7), slice(7, 14)
+    big = (blocks(oh_i, oh_i, s_i, s_i) + blocks(oh_j, oh_j, s_j, s_j) +
+           blocks(oh_i, oh_j, s_i, s_j) + blocks(oh_j, oh_i, s_j, s_i))
+    jtj = big.transpose(0, 2, 1, 3).reshape(p_total, p_total)
+    jtr = (jnp.einsum("qa,qi->ai", oh_i, jtr_blocks[:, :7]) +
+           jnp.einsum("qa,qi->ai", oh_j, jtr_blocks[:, 7:])).reshape(-1)
     # Freeze masked params.
     jtj = jnp.where(free_mask[:, None] & free_mask[None, :], jtj, 0.0)
     jtj = jtj + jnp.diag(jnp.where(free_mask, 0.0, 1.0))
     jtr = jnp.where(free_mask, jtr, 0.0)
     cost_val = jnp.sum(res * res)
     return cost_val, jtj, jtr
+
+
+def _cg_solve(a: jnp.ndarray, b: jnp.ndarray, iters: int = 64) -> jnp.ndarray:
+    """Jacobi-preconditioned conjugate gradients for small SPD systems.
+
+    TPU's dense LU on a 56x56 costs ~82ms; 64 CG matvecs are microseconds.
+    """
+    dinv = 1.0 / jnp.maximum(jnp.diag(a), 1e-8)
+    x = jnp.zeros_like(b)
+    r = b
+    z = dinv * r
+    p = z
+    rz = jnp.dot(r, z)
+
+    def step(_, carry):
+        x, r, p, rz = carry
+        ap = a @ p
+        denom = jnp.maximum(jnp.dot(p, ap), 1e-20)
+        alpha = rz / denom
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = dinv * r
+        rz_new = jnp.dot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-20)
+        return x, r, z + beta * p, rz_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, iters, step, (x, r, p, rz))
+    return x
 
 
 @functools.partial(jax.jit, static_argnames=("cost",))
@@ -211,7 +257,7 @@ def _lm_solve_device(params, cam_i, cam_j, p_i, p_j, w, free_mask, *,
         precond = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-8))
         a = jtj * precond[:, None] * precond[None, :]
         a = a + lam * jnp.eye(a.shape[0])
-        stp = precond * jnp.linalg.solve(a, precond * jtr)
+        stp = precond * _cg_solve(a, precond * jtr)
         new_p = p - stp.reshape(p.shape)
         new_c = _eval_cost(new_p, cam_i, cam_j, p_i, p_j, w, cost=cost)
         accept = jnp.isfinite(new_c) & (new_c < c)
@@ -307,7 +353,7 @@ def _affine_lm_solve(params, cam_i, cam_j, p_i, p_j, w, *, n_cams: int,
         precond = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-8))
         a = jtj * precond[:, None] * precond[None, :] + \
             lam * jnp.eye(jtj.shape[0])
-        stp = precond * jnp.linalg.solve(a, precond * jtr)
+        stp = precond * _cg_solve(a, precond * jtr)
         new_p = p - stp.reshape(p.shape)
         new_c = eval_cost(new_p)
         accept = jnp.isfinite(new_c) & (new_c < c)
