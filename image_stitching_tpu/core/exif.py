@@ -24,7 +24,6 @@ from typing import Optional, Tuple
 import numpy as np
 
 from .persistence import parse_matrix_str
-from ..geometry import quaternion as quat
 
 __all__ = [
     "SensorPrior", "parse_image_description", "sensor_prior_to_camera",

@@ -21,9 +21,8 @@ Per-image rects are expanded by 3*2^bands and snapped to the band grid
 
 from __future__ import annotations
 
-import dataclasses
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -7,14 +7,10 @@ AKAZE: nonlinear Perona-Malik diffusion) and in descriptors.
 
 from __future__ import annotations
 
-import functools
 from typing import List
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
-from ..imgproc import gaussian_blur
 
 __all__ = ["det_hessian", "diffusion_step", "top_k_keypoints"]
 

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..imgproc import gaussian_blur, resize, scale_size
+from ..imgproc import gaussian_blur, resize
 from .types import Features
 
 __all__ = ["sift_detect_and_describe"]

@@ -12,7 +12,6 @@ import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import TimelapserType
 from .warps import result_roi, result_roi_intersection

@@ -8,11 +8,9 @@ detect -> match -> RANSAC chain; results gather back sharded.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.features.orb import orb_detect_and_describe

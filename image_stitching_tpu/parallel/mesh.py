@@ -42,5 +42,4 @@ def make_mesh(shape: Optional[Tuple[int, ...]] = None,
 
 def shard_batch(mesh: Mesh, axis: str = "dp") -> NamedSharding:
     """Sharding for a leading batch axis."""
-    spec = [None] * 1
     return NamedSharding(mesh, P(axis))

@@ -24,7 +24,6 @@ against the canvas grid, so the scan body compiles once regardless of N.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
