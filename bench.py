@@ -83,17 +83,16 @@ def _pair_latency_ms(n_feat=1500, trials=20):
     """p50 latency of one full pair registration (detect+match+RANSAC)."""
     import jax
     import jax.numpy as jnp
-    from image_stitching_tpu.ops.features.orb import orb_detect_and_describe
-    from image_stitching_tpu.ops.matching import match_pair
+    from image_stitching_tpu.ops.matching import register_pair
 
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.uniform(0, 255, (2, 480, 640)).astype(np.float32))
     key = jax.random.PRNGKey(0)
 
     def one(shift):
-        f1 = orb_detect_and_describe(imgs[0] + shift, n_features=n_feat)
-        f2 = orb_detect_and_describe(imgs[1] + shift, n_features=n_feat)
-        return match_pair(f1, f2, key)
+        # Single fused program: pixels -> H/conf in one dispatch.
+        return register_pair(imgs[0] + shift, imgs[1] + shift, key,
+                             n_features=n_feat)
 
     jax.block_until_ready(one(0.0).h)
     lat = []

@@ -30,7 +30,8 @@ import numpy as np
 from .features.types import Features
 from .ransac import ransac_homography, ransac_affine_partial
 
-__all__ = ["PairMatches", "match_pair", "match_all_pairs", "hamming_matrix"]
+__all__ = ["PairMatches", "match_pair", "match_all_pairs",
+           "register_pair", "hamming_matrix"]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -184,6 +185,25 @@ def match_pair(feat_a: Features, feat_b: Features, key: jnp.ndarray,
         a_idx=a_idx, b_idx=b_idx, valid=valid, inlier=inlier, h=h,
         num_inliers=jnp.where(enough, n_inl, 0),
         confidence=conf)
+
+
+@functools.partial(jax.jit, static_argnames=("n_features", "matcher_type",
+                                              "n_hyp"))
+def register_pair(img_a: jnp.ndarray, img_b: jnp.ndarray, key: jnp.ndarray,
+                  n_features: int = 1500, match_conf: float = 0.32,
+                  matcher_type: str = "homography",
+                  n_hyp: int = 512) -> PairMatches:
+    """Pixels -> PairMatches in ONE device program.
+
+    Fuses both ORB detections and the match into a single dispatch: the
+    p50 latency of a pair registration is otherwise dominated by three
+    tunnel round trips (~25ms each) rather than compute.
+    img_*: (H, W) grayscale float/uint8.
+    """
+    from .features.orb import orb_detect_and_describe
+    fa = orb_detect_and_describe(img_a, n_features=n_features)
+    fb = orb_detect_and_describe(img_b, n_features=n_features)
+    return match_pair(fa, fb, key, match_conf, matcher_type, n_hyp)
 
 
 @functools.partial(jax.jit,

@@ -13,8 +13,7 @@ from typing import Tuple
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.features.orb import orb_detect_and_describe
-from ..ops.matching import match_pair
+from ..ops.matching import register_pair
 
 __all__ = ["register_pairs_batched", "make_batched_register"]
 
@@ -29,9 +28,8 @@ def make_batched_register(mesh: Mesh, hw: Tuple[int, int],
     dp axis size.
     """
     def one(pair, key):
-        f1 = orb_detect_and_describe(pair[0], n_features=n_features)
-        f2 = orb_detect_and_describe(pair[1], n_features=n_features)
-        pm = match_pair(f1, f2, key, match_conf=match_conf, n_hyp=n_hyp)
+        pm = register_pair(pair[0], pair[1], key, n_features=n_features,
+                           match_conf=match_conf, n_hyp=n_hyp)
         return pm.h, pm.confidence, pm.num_inliers
 
     batched = jax.vmap(one)
