@@ -29,7 +29,10 @@ def _wave_correct_impl(rmats: jnp.ndarray, horiz: bool) -> jnp.ndarray:
     z_axes = rmats[:, :, 2]
     moment = jnp.einsum("ni,nj->ij", x_axes, x_axes)
     evals, evecs = jnp.linalg.eigh(moment)       # ascending
-    rg1 = evecs[:, 0]                            # smallest eigenvalue
+    # HORIZ uses the smallest-eigenvalue axis as global 'up'; VERT the
+    # largest (cv::detail::waveCorrect picks eigen row 2 vs row 0 of its
+    # descending-ordered decomposition).
+    rg1 = evecs[:, 0] if horiz else evecs[:, -1]
     img_k = jnp.sum(z_axes, axis=0)
     rg0 = jnp.cross(rg1, img_k)
     rg0 = rg0 / jnp.maximum(jnp.linalg.norm(rg0), 1e-12)
@@ -39,7 +42,8 @@ def _wave_correct_impl(rmats: jnp.ndarray, horiz: bool) -> jnp.ndarray:
         conf = jnp.sum(jnp.einsum("j,nj->n", rg0, x_axes))
         flip = conf < 0
     else:
-        conf = jnp.sum(jnp.einsum("j,nj->n", rg1, x_axes))
+        # VERT: conf = -sum(rg1 . x_axes); flip when conf < 0.
+        conf = -jnp.sum(jnp.einsum("j,nj->n", rg1, x_axes))
         flip = conf < 0
     sign = jnp.where(flip, -1.0, 1.0)
     rg0 = rg0 * sign

@@ -84,6 +84,19 @@ def test_wave_correct_matches_opencv():
         np.testing.assert_allclose(b, a, atol=1e-4)
 
 
+def test_wave_correct_vert_matches_opencv():
+    # Vertical panorama: cameras spread in pitch with a slight roll.
+    from scipy.spatial.transform import Rotation as SR
+    rs = [(SR.from_euler("x", 0.3 * i).as_matrix() @
+           SR.from_euler("z", 0.02).as_matrix()).astype(np.float32)
+          for i in range(6)]
+    cv_out = cv2.detail.waveCorrect([m.copy() for m in rs],
+                                    cv2.detail.WAVE_CORRECT_VERT)
+    my_out = np.asarray(wave_correct(np.stack(rs), WaveCorrectKind.VERT))
+    for a, b in zip(cv_out, my_out):
+        np.testing.assert_allclose(b, a, atol=1e-4)
+
+
 def test_wave_correct_no():
     cams = ring_cameras(3)
     out = wave_correct(np.asarray(cams.R), WaveCorrectKind.NO)
