@@ -96,6 +96,9 @@ class StitchConfig:
     checkpoint_npz: bool = False     # also write cameras.npz next to
                                      # cams.data (binary checkpoint)
     profile_dir: str = ""            # jax.profiler trace output directory
+    use_sharded_compose: bool = False  # shard the compose canvas over the
+                                     # mesh 'sp' axis (gigapixel mode;
+                                     # needs >1 device, MULTI_BAND/NO blend)
 
     def replace(self, **kw) -> "StitchConfig":
         return dataclasses.replace(self, **kw)

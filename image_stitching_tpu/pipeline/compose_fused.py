@@ -34,7 +34,7 @@ from ..ops.blend import WEIGHT_EPS, num_bands_for, pyr_down, pyr_up
 from ..ops.imgproc import dilate3
 from ..ops.warps import PROJECTIONS, Warper, _backward_xy, result_roi
 
-__all__ = ["fused_compose"]
+__all__ = ["fused_compose", "fused_compose_sharded"]
 
 
 def _bilinear_sample(img, sx, sy, fill=0.0):
@@ -107,6 +107,71 @@ def _warp_stack(images, ks, rs, scale, tls, *, proj_name: str, pad_h: int,
     return jax.vmap(one)(images, ks, rs, tls)
 
 
+def _warp_gain_seam(img, k, r, uu, vv, scale, smask, stl, seam_ratio,
+                    gain, gain_tl, gain_cell, *, proj_bwd, gain_mode):
+    """Per-image compose sample at warped-canvas coords (uu, vv).
+
+    Backward warp (bilinear/BORDER_REFLECT) + warp-validity mask + exposure
+    gain + seam-mask sampling via the warped-plane scale ratio.  Shared by
+    the single-device fused scan body and the canvas-sharded local body so
+    both paths compose identically.  Returns (warped (..., 3), weight)."""
+    hc, wc = img.shape[0], img.shape[1]
+    sx, sy, valid = _backward_xy(proj_bwd, uu, vv, k, r, scale)
+
+    # BORDER_REFLECT bilinear image sample.
+    def reflect(c, nn):
+        period = 2 * nn
+        c = jnp.mod(c, period)
+        return jnp.where(c >= nn, period - 1 - c, c)
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = (sx - x0)[..., None]
+    fy = (sy - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x0r = reflect(x0i, wc)
+    x1r = reflect(x0i + 1, wc)
+    y0r = reflect(y0i, hc)
+    y1r = reflect(y0i + 1, hc)
+    i00 = img[y0r, x0r]
+    i01 = img[y0r, x1r]
+    i10 = img[y1r, x0r]
+    i11 = img[y1r, x1r]
+    warped = (i00 * (1 - fx) * (1 - fy) + i01 * fx * (1 - fy) +
+              i10 * (1 - fx) * fy + i11 * fx * fy)
+
+    # Warp validity (INTER_NEAREST + BORDER_CONSTANT on the all-255
+    # mask == source-rect containment of the rounded sample).
+    xr = jnp.round(sx)
+    yr = jnp.round(sy)
+    wmask = valid & (xr >= 0) & (xr <= wc - 1) & (yr >= 0) & \
+        (yr <= hc - 1)
+
+    # Exposure gains.
+    if gain_mode == "scalar":
+        warped = warped * gain
+    elif gain_mode == "channels":
+        warped = warped * gain[None, None, :]
+    elif gain_mode == "blocks":
+        gx_ = (uu * seam_ratio - gain_tl[0]) / gain_cell - 0.5
+        gy_ = (vv * seam_ratio - gain_tl[1]) / gain_cell - 0.5
+        gh, gw = gain.shape[0], gain.shape[1]
+        gx_ = jnp.clip(gx_, 0.0, gw - 1.0)
+        gy_ = jnp.clip(gy_, 0.0, gh - 1.0)
+        gval = _bilinear_sample(gain, gx_, gy_)
+        if gain.ndim == 2:
+            gval = gval[..., None]
+        warped = warped * gval
+
+    # Seam mask: sample the seam-scale mask at ratio-scaled warped
+    # coords (warped-plane coordinates are proportional to warp scale).
+    mx = uu * seam_ratio - stl[0]
+    my = vv * seam_ratio - stl[1]
+    sval = _bilinear_sample(smask, mx, my)
+    weight = jnp.where((sval > 0.5) & wmask, 1.0, 0.0)
+    return warped, weight
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("proj_name", "pad_h", "pad_w", "canvas_h", "canvas_w",
@@ -143,59 +208,10 @@ def _fused_compose_impl(images, ks, rs, scale, tls, canvas_tl,
         us = tl[0] + jnp.arange(pad_w, dtype=jnp.float32)
         vs = tl[1] + jnp.arange(pad_h, dtype=jnp.float32)
         uu, vv = jnp.meshgrid(us, vs)
-        sx, sy, valid = _backward_xy(proj_bwd, uu, vv, k, r, scale)
-
-        # BORDER_REFLECT bilinear image sample.
-        def reflect(c, nn):
-            period = 2 * nn
-            c = jnp.mod(c, period)
-            return jnp.where(c >= nn, period - 1 - c, c)
-        x0 = jnp.floor(sx)
-        y0 = jnp.floor(sy)
-        fx = (sx - x0)[..., None]
-        fy = (sy - y0)[..., None]
-        x0i = x0.astype(jnp.int32)
-        y0i = y0.astype(jnp.int32)
-        x0r = reflect(x0i, wc)
-        x1r = reflect(x0i + 1, wc)
-        y0r = reflect(y0i, hc)
-        y1r = reflect(y0i + 1, hc)
-        i00 = img[y0r, x0r]
-        i01 = img[y0r, x1r]
-        i10 = img[y1r, x0r]
-        i11 = img[y1r, x1r]
-        warped = (i00 * (1 - fx) * (1 - fy) + i01 * fx * (1 - fy) +
-                  i10 * (1 - fx) * fy + i11 * fx * fy)
-
-        # Warp validity (INTER_NEAREST + BORDER_CONSTANT on the all-255
-        # mask == source-rect containment of the rounded sample).
-        xr = jnp.round(sx)
-        yr = jnp.round(sy)
-        wmask = valid & (xr >= 0) & (xr <= wc - 1) & (yr >= 0) & \
-            (yr <= hc - 1)
-
-        # Exposure gains.
-        if gain_mode == "scalar":
-            warped = warped * gain
-        elif gain_mode == "channels":
-            warped = warped * gain[None, None, :]
-        elif gain_mode == "blocks":
-            gx_ = (uu * seam_ratio - gain_tl[0]) / gain_cell - 0.5
-            gy_ = (vv * seam_ratio - gain_tl[1]) / gain_cell - 0.5
-            gh, gw = gain.shape[0], gain.shape[1]
-            gx_ = jnp.clip(gx_, 0.0, gw - 1.0)
-            gy_ = jnp.clip(gy_, 0.0, gh - 1.0)
-            gval = _bilinear_sample(gain, gx_, gy_)
-            if gain.ndim == 2:
-                gval = gval[..., None]
-            warped = warped * gval
-
-        # Seam mask: sample the seam-scale mask at ratio-scaled warped
-        # coords (warped-plane coordinates are proportional to warp scale).
-        mx = uu * seam_ratio - stl[0]
-        my = vv * seam_ratio - stl[1]
-        sval = _bilinear_sample(smask, mx, my)
-        weight = jnp.where((sval > 0.5) & wmask, 1.0, 0.0)
+        warped, weight = _warp_gain_seam(
+            img, k, r, uu, vv, scale, smask, stl, seam_ratio,
+            gain, gain_tl, gain_cell, proj_bwd=proj_bwd,
+            gain_mode=gain_mode)
 
         # Multi-band accumulate at band-aligned offsets.
         img_m = warped
@@ -241,6 +257,33 @@ def _fused_compose_impl(images, ks, rs, scale, tls, canvas_tl,
     return out_u8, waccs[0] > WEIGHT_EPS
 
 
+def _prep_gains(compensator, n: int):
+    """Exposure-compensator state -> (gain_mode, gains, gain_tl, gain_cell)
+    ready for the fused/sharded compose programs."""
+    if compensator is None or compensator.comp_type == ECType.NO:
+        return "none", np.ones((n,), np.float32), np.zeros(2, np.float32), 1.0
+    if compensator.comp_type == ECType.GAIN:
+        return ("scalar", np.asarray(compensator.gains, np.float32),
+                np.zeros(2, np.float32), 1.0)
+    if compensator.comp_type == ECType.CHANNELS:
+        return ("channels", np.asarray(compensator.gains, np.float32),
+                np.zeros(2, np.float32), 1.0)
+    return ("blocks", np.asarray(compensator.gains, np.float32),
+            np.asarray(compensator.canvas_roi[:2], np.float32),
+            float(compensator.block_size))
+
+
+def _prep_seam_masks(seam_masks, n: int):
+    """Pad seam masks to one static shape and pre-dilate (the reference's
+    dilate at image_stitching.cpp:1169)."""
+    sh_pad = max(m.shape[0] for m in seam_masks)
+    sw_pad = max(m.shape[1] for m in seam_masks)
+    smask = np.zeros((n, sh_pad, sw_pad), np.float32)
+    for i, m in enumerate(seam_masks):
+        smask[i, :m.shape[0], :m.shape[1]] = (np.asarray(m) > 0)
+    return dilate3(jnp.asarray(smask)), sh_pad, sw_pad
+
+
 def fused_compose(images: jnp.ndarray, ks: np.ndarray, rs: np.ndarray,
                   warper: Warper, comp_corners, comp_sizes,
                   seam_masks, seam_corners, seam_ratio: float,
@@ -284,35 +327,9 @@ def fused_compose(images: jnp.ndarray, ks: np.ndarray, rs: np.ndarray,
     tls = [(min(tl[0], cx + canvas_w - pad_w),
             min(tl[1], cy + canvas_h - pad_h)) for tl in tls]
 
-    # Seam mask stack (pre-dilated), padded.
-    sh_pad = max(m.shape[0] for m in seam_masks)
-    sw_pad = max(m.shape[1] for m in seam_masks)
-    smask = np.zeros((n, sh_pad, sw_pad), np.float32)
-    for i, m in enumerate(seam_masks):
-        smask[i, :m.shape[0], :m.shape[1]] = (np.asarray(m) > 0)
-    smask_d = dilate3(jnp.asarray(smask))
+    smask_d, sh_pad, sw_pad = _prep_seam_masks(seam_masks, n)
 
-    # Gains.
-    if compensator is None or compensator.comp_type == ECType.NO:
-        gain_mode = "none"
-        gains = np.ones((n,), np.float32)
-        gain_tl = np.zeros(2, np.float32)
-        gain_cell = 1.0
-    elif compensator.comp_type == ECType.GAIN:
-        gain_mode = "scalar"
-        gains = np.asarray(compensator.gains, np.float32)
-        gain_tl = np.zeros(2, np.float32)
-        gain_cell = 1.0
-    elif compensator.comp_type == ECType.CHANNELS:
-        gain_mode = "channels"
-        gains = np.asarray(compensator.gains, np.float32)
-        gain_tl = np.zeros(2, np.float32)
-        gain_cell = 1.0
-    else:
-        gain_mode = "blocks"
-        gains = np.asarray(compensator.gains, np.float32)
-        gain_tl = np.asarray(compensator.canvas_roi[:2], np.float32)
-        gain_cell = float(compensator.block_size)
+    gain_mode, gains, gain_tl, gain_cell = _prep_gains(compensator, n)
 
     pano, mask = _fused_compose_impl(
         jnp.asarray(images, jnp.float32),
@@ -329,6 +346,141 @@ def fused_compose(images: jnp.ndarray, ks: np.ndarray, rs: np.ndarray,
         canvas_h=int(canvas_h), canvas_w=int(canvas_w),
         n_bands=int(n_bands), seam_pad_h=int(sh_pad),
         seam_pad_w=int(sw_pad), gain_mode=gain_mode)
+    pano = np.asarray(pano)[:ch, :cw].astype(np.float32)
+    mask = np.asarray(mask)[:ch, :cw]
+    return pano, mask
+
+
+# --------------------------------------------------------------------------
+# Canvas-sharded fused compositing (gigapixel mode, SURVEY.md section 5).
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def _sharded_compose_fn(mesh, axis: str, proj_name: str, canvas_h: int,
+                        canvas_w: int, n_bands: int, gain_mode: str):
+    """Build the shard_map'd compose program for one mesh/canvas geometry.
+
+    The canvas is sharded along its width over the mesh's `axis`; each
+    device evaluates the SAME per-image body as `_fused_compose_impl`
+    (via `_warp_gain_seam`) over its slice plus a recomputed margin of
+    3 * 2^n_bands columns, so the Laplacian pyramid never sees a shard
+    boundary and ICI traffic is zero (overlap-compute instead of halo
+    exchange — the backward warp is pure math, any device can evaluate
+    any canvas column).  Output stays sharded P(None, axis[, None]).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    proj_bwd = PROJECTIONS[proj_name][1]
+    n_dev = mesh.shape[axis]
+    w_local = canvas_w // n_dev
+    margin = 3 * (1 << n_bands)
+    w_ext = w_local + 2 * margin
+    assert canvas_w % (n_dev * (1 << n_bands)) == 0
+    assert canvas_h % (1 << n_bands) == 0
+
+    def local_fn(images, ks, rs, scale, canvas_tl, smasks, stls,
+                 seam_ratio, gains, gain_tl, gain_cell):
+        sidx = jax.lax.axis_index(axis)
+        x0 = canvas_tl[0] + (sidx * w_local - margin).astype(jnp.float32)
+        us = x0 + jnp.arange(w_ext, dtype=jnp.float32)
+        vs = canvas_tl[1] + jnp.arange(canvas_h, dtype=jnp.float32)
+        uu, vv = jnp.meshgrid(us, vs)
+
+        def body(carry, inp):
+            accs, waccs = carry
+            img, k, r, smask, stl, gain = inp
+            warped, weight = _warp_gain_seam(
+                img, k, r, uu, vv, scale, smask, stl, seam_ratio,
+                gain, gain_tl, gain_cell, proj_bwd=proj_bwd,
+                gain_mode=gain_mode)
+            gauss = [warped]
+            wg = [weight]
+            for _ in range(n_bands):
+                gauss.append(pyr_down(gauss[-1]))
+                wg.append(pyr_down(wg[-1]))
+            new_accs, new_waccs = [], []
+            for b in range(n_bands + 1):
+                if b < n_bands:
+                    lap = gauss[b] - pyr_up(gauss[b + 1],
+                                            gauss[b].shape[:2])
+                else:
+                    lap = gauss[b]
+                new_accs.append(accs[b] + lap * wg[b][..., None])
+                new_waccs.append(waccs[b] + wg[b])
+            return (new_accs, new_waccs), 0
+
+        # pvary: the zero accumulators become axis-varying once the body
+        # mixes in axis_index-dependent warped content.
+        accs = [jax.lax.pvary(jnp.zeros(
+            (canvas_h >> b, w_ext >> b, 3), jnp.float32), axis)
+            for b in range(n_bands + 1)]
+        waccs = [jax.lax.pvary(jnp.zeros(
+            (canvas_h >> b, w_ext >> b), jnp.float32), axis)
+            for b in range(n_bands + 1)]
+        (accs, waccs), _ = jax.lax.scan(
+            body, (accs, waccs), (images, ks, rs, smasks, stls, gains))
+
+        bands = [accs[b] / (waccs[b][..., None] + WEIGHT_EPS)
+                 for b in range(n_bands + 1)]
+        out = bands[-1]
+        for b in range(n_bands - 1, -1, -1):
+            out = pyr_up(out, bands[b].shape[:2]) + bands[b]
+        out = out[:, margin:margin + w_local]
+        out_u8 = jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
+        valid = waccs[0][:, margin:margin + w_local] > WEIGHT_EPS
+        return out_u8, valid
+
+    fn = shard_map(local_fn, mesh=mesh,
+                   in_specs=(P(),) * 11,
+                   out_specs=(P(None, axis, None), P(None, axis)))
+    return jax.jit(fn)
+
+
+def fused_compose_sharded(mesh, images: jnp.ndarray, ks: np.ndarray,
+                          rs: np.ndarray, warper: Warper, comp_corners,
+                          comp_sizes, seam_masks, seam_corners,
+                          seam_ratio: float, compensator,
+                          blend_type: BlenderType, blend_strength: float,
+                          axis: str = "sp"):
+    """Canvas-sharded `fused_compose`: same inputs plus a mesh.
+
+    Shards the compose canvas width over `mesh.shape[axis]` devices
+    (gigapixel mode — the panorama never materializes on one device
+    until the final host gather).  Composes through the same
+    `_warp_gain_seam` body as the single-device fused path, so output
+    matches it up to pyramid boundary effects at the canvas edges.
+    Returns (panorama float32 (H, W, 3), mask bool) like fused_compose.
+    """
+    n = images.shape[0]
+    canvas = result_roi(comp_corners, comp_sizes)
+    n_bands, blend_width = num_bands_for(canvas, blend_strength)
+    if blend_type == BlenderType.NO or blend_width < 1.0:
+        n_bands = 0
+    elif blend_type == BlenderType.FEATHER:
+        n_bands = 1
+    n_dev = mesh.shape[axis]
+    step = 1 << max(n_bands, 1)
+    unit = n_dev * step
+    cx, cy, cw, ch = canvas
+    canvas_w = -(-cw // unit) * unit
+    canvas_h = -(-ch // step) * step
+
+    smask_d, _, _ = _prep_seam_masks(seam_masks, n)
+    gain_mode, gains, gain_tl, gain_cell = _prep_gains(compensator, n)
+
+    fn = _sharded_compose_fn(mesh, axis, warper.proj_name,
+                             int(canvas_h), int(canvas_w), int(n_bands),
+                             gain_mode)
+    pano, mask = fn(
+        jnp.asarray(images, jnp.float32),
+        jnp.asarray(ks, jnp.float32), jnp.asarray(rs, jnp.float32),
+        jnp.float32(warper.scale),
+        jnp.asarray(np.asarray([cx, cy], np.float32)),
+        smask_d,
+        jnp.asarray(np.asarray(seam_corners, np.float32)),
+        jnp.float32(seam_ratio),
+        jnp.asarray(gains), jnp.asarray(gain_tl), jnp.float32(gain_cell))
     pano = np.asarray(pano)[:ch, :cw].astype(np.float32)
     mask = np.asarray(mask)[:ch, :cw]
     return pano, mask

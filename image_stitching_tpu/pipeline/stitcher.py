@@ -445,10 +445,21 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
                 comp_imgs = jax.vmap(lambda im: resize(im, chw))(src_stack)
             else:
                 comp_imgs = src_stack
-            pano, pano_mask = fused_compose(
-                comp_imgs, kc_all, r_all, warper, comp_corners,
-                comp_sizes, seam_masks, corners, seam_ratio,
-                compensator, cfg.blend_type, cfg.blend_strength)
+            if cfg.use_sharded_compose and jax.device_count() > 1:
+                # Gigapixel mode: shard the compose canvas over the 'sp'
+                # axis of a (1, n_devices) mesh (SURVEY.md section 5).
+                from ..parallel.mesh import make_mesh
+                from .compose_fused import fused_compose_sharded
+                mesh = make_mesh((1, jax.device_count()), ("dp", "sp"))
+                pano, pano_mask = fused_compose_sharded(
+                    mesh, comp_imgs, kc_all, r_all, warper, comp_corners,
+                    comp_sizes, seam_masks, corners, seam_ratio,
+                    compensator, cfg.blend_type, cfg.blend_strength)
+            else:
+                pano, pano_mask = fused_compose(
+                    comp_imgs, kc_all, r_all, warper, comp_corners,
+                    comp_sizes, seam_masks, corners, seam_ratio,
+                    compensator, cfg.blend_type, cfg.blend_strength)
         else:
             blender = None
             timelapser = None

@@ -69,3 +69,36 @@ def test_batched_register_sharded():
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_sharded_fused_compose_matches_single_device():
+    """Canvas-sharded compose == single-device fused compose (interior)."""
+    from image_stitching_tpu.config import BlenderType
+    from image_stitching_tpu.ops.warps import make_warper
+    from image_stitching_tpu.pipeline.compose_fused import (
+        fused_compose, fused_compose_sharded)
+
+    imgs, ks, rs = _scene(n=3, h=48, w=64, focal=40.0)
+    # Smooth content: pyramid boundary effects then stay sub-LSB.
+    yy, xx = np.mgrid[:48, :64].astype(np.float32)
+    imgs = np.stack([np.stack([100 + xx + 10 * i, 80 + yy, 90 + 0 * xx],
+                              -1) for i in range(3)]).astype(np.float32)
+    warper = make_warper("spherical", 40.0)
+    corners, sizes = [], []
+    for i in range(3):
+        x, y, w, h = warper.warp_roi((48, 64), ks[i], rs[i])
+        corners.append((x, y))
+        sizes.append((w, h))
+    seam_masks = [np.full((sizes[i][1], sizes[i][0]), 255, np.uint8)
+                  for i in range(3)]
+    args = (jnp.asarray(imgs), ks, rs, warper, corners, sizes,
+            seam_masks, corners, 1.0, None, BlenderType.MULTI_BAND, 5.0)
+    pano1, m1 = fused_compose(*args)
+    mesh = make_mesh((1, 4), ("dp", "sp"))
+    pano4, m4 = fused_compose_sharded(mesh, *args)
+    assert pano4.shape == pano1.shape and m4.shape == m1.shape
+    both = np.asarray(m1) & np.asarray(m4)
+    diff = np.abs(pano4 - pano1)[both]
+    assert float(np.mean(diff)) < 0.5, float(np.mean(diff))
+    assert float(np.percentile(diff, 99)) <= 2.0, (
+        float(np.percentile(diff, 99)))

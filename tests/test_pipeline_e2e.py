@@ -152,3 +152,18 @@ def test_unknown_feature_type(capture_dir):
     d, *_ = capture_dir
     with pytest.raises(ValueError, match="Unknown 2D features type"):
         stitch(d, small_cfg(features_type="huh"), output="")
+
+
+def test_sharded_compose_e2e_matches_default(stitched, capture_dir, tmp_path):
+    """cfg.use_sharded_compose composes the same panorama over the
+    8-virtual-device sp mesh as the single-device fused path."""
+    res1, _, run_dir = stitched
+    d = capture_dir[0]
+    os.chdir(tmp_path)
+    cfg = small_cfg(checkpoint_dir=str(run_dir), use_sharded_compose=True)
+    res2 = stitch(d, cfg, output="")
+    assert res2.panorama.shape == res1.panorama.shape
+    both = np.asarray(res1.mask) & np.asarray(res2.mask)
+    diff = np.abs(res2.panorama.astype(np.float32) -
+                  res1.panorama.astype(np.float32))[both]
+    assert float(np.mean(diff)) < 1.0, float(np.mean(diff))
