@@ -22,6 +22,13 @@ TPU-first redesign (not a port of OpenCV's per-pair pixel loops):
 
 Intensity is the L2 norm of the RGB triple (OpenCV GainCompensator uses
 norm(Vec3b)); CHANNELS variants solve the same system per channel.
+
+Parity (decoded numerically against cv2.detail): GAIN and CHANNELS gains
+match GainCompensator / ChannelsCompensator to ~1e-4 (vec-norm intensity,
+self-count N(i,i) in the beta prior terms only, factor-2 alpha terms).
+The *_BLOCKS variants keep the canvas-anchored decoupled cell grid (a
+deliberate TPU-friendly delta vs cv2's per-image block grids); applied
+output agrees to a few percent (tested in tests/test_ops.py).
 """
 
 from __future__ import annotations
@@ -59,15 +66,17 @@ def _solve_gain_system(n_pix: jnp.ndarray, i_mean: jnp.ndarray) -> jnp.ndarray:
     n = n_pix.shape[-1]
     i_ij = i_mean
     i_ji = jnp.swapaxes(i_mean, -1, -2)
-    # N(i,i) is never set in the pairwise formulation (self-overlap is not
-    # an exposure constraint) — OpenCV's matrix never sees it either.
+    # Decoded numerically against cv2.detail.GainCompensator: the
+    # self-overlap N(i,i) (the image's own pixel count) appears in the
+    # beta prior terms (both A(i,i) and b(i)) but NOT in the alpha
+    # exposure-difference terms, and the alpha terms carry a factor 2.
     npix = n_pix * (1.0 - jnp.eye(n))
     a = -2.0 * _ALPHA * i_ij * i_ji * npix
-    diag = (_BETA * jnp.sum(npix, axis=-1) +
+    diag = (_BETA * jnp.sum(n_pix, axis=-1) +
             2.0 * _ALPHA * jnp.sum(i_ij * i_ij * npix, axis=-1))
     a = a * (1.0 - jnp.eye(n)) + jnp.eye(n) * diag[..., None, :] * 0.0
     a = a.at[..., jnp.arange(n), jnp.arange(n)].set(diag)
-    b = _BETA * jnp.sum(npix, axis=-1)
+    b = _BETA * jnp.sum(n_pix, axis=-1)
     # Images absent from a cell get an identity row -> gain 1.
     reg = jnp.where(diag < 1e-6, 1.0, 0.0)
     a = a + jnp.eye(n) * reg[..., None, :]

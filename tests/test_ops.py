@@ -232,3 +232,39 @@ def test_timelapser(rng):
     f2 = np.asarray(crop_tl.process(jnp.asarray(img), None, (10, 5)))
     assert f2.shape == (15, 20, 3)
     assert fixed_name("/a/b/7.jpg") == "fixed_7.jpg"
+
+
+def test_gain_and_channels_match_opencv(rng):
+    """GAIN / CHANNELS gains == cv2.detail compensators (decoded system:
+    vec-norm intensity, self-count in the beta prior, 2x alpha terms)."""
+    img = rng.uniform(40, 210, (64, 96, 3)).astype(np.float32)
+    u1 = img[:, :64].astype(np.uint8)
+    u2 = (img[:, 32:] * 0.72).astype(np.uint8)
+    m = np.full((64, 64), 255, np.uint8)
+    mu = cv2.UMat(m)
+    corners = [(0, 0), (32, 0)]
+    fl = [u1.astype(np.float32), u2.astype(np.float32)]
+
+    c = cv2.detail.GainCompensator(1)
+    c.feed(corners, [cv2.UMat(u1), cv2.UMat(u2)], [mu, mu])
+    want = np.array([np.asarray(x).ravel()[0] for x in c.getMatGains()])
+    got = np.asarray(exposure_mod.feed(corners, fl, [m, m], ECT.GAIN).gains)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+    c = cv2.detail.ChannelsCompensator(1)
+    c.feed(corners, [cv2.UMat(u1), cv2.UMat(u2)], [mu, mu])
+    want = np.stack([np.asarray(x).ravel()[:3] for x in c.getMatGains()])
+    got = np.asarray(
+        exposure_mod.feed(corners, fl, [m, m], ECT.CHANNELS).gains)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+    # Blocks modes use a canvas-anchored decoupled grid (documented delta
+    # vs cv2's per-image grids): applied output agrees to a few percent.
+    c = cv2.detail.BlocksGainCompensator(32, 32, 1)
+    c.feed(corners, [cv2.UMat(u1), cv2.UMat(u2)], [mu, mu])
+    out_cv = np.asarray(c.apply(0, corners[0], cv2.UMat(u1), mu).get())
+    comp = exposure_mod.feed(corners, fl, [m, m], ECT.GAIN_BLOCKS,
+                             block_size=32)
+    out_my = np.asarray(exposure_mod.apply_gain(comp, 0, corners[0], fl[0]))
+    mad = np.abs(out_cv.astype(np.float32) - out_my).mean()
+    assert mad < 6.0, mad
