@@ -21,7 +21,12 @@ try:
     # machine-feature flags that can mis-execute when reloaded under a
     # different feature profile (observed as silently wrong results), and
     # CPU compiles are cheap anyway.
-    if "cpu" not in _os.environ.get("JAX_PLATFORMS", "axon"):
+    # Check BOTH the env var and the config value: callers (tests, the
+    # multi-chip dryrun) switch to CPU via jax.config.update before
+    # importing this package, leaving the env var pointing at the TPU.
+    _platforms = (_jax.config.jax_platforms or
+                  _os.environ.get("JAX_PLATFORMS", "axon"))
+    if "cpu" not in _platforms:
         _cache = _os.environ.get(
             "IMAGE_STITCHING_TPU_CACHE",
             _os.path.expanduser("~/.cache/jax_stitch_tpu"))
