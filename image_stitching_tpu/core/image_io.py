@@ -15,13 +15,14 @@ from __future__ import annotations
 
 import os
 import re
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 from PIL import Image
 
 __all__ = [
-    "list_images", "imread", "imwrite", "rotate_90_cw", "rotate_180",
+    "list_images", "imread", "imwrite", "probe_oriented_size",
+    "rotate_90_cw", "rotate_180",
     "orient_capture", "write_jpeg_with_description",
 ]
 
@@ -68,6 +69,18 @@ def imread_batch(paths, nthreads: int = 4):
     if out is not None:
         return out
     return [imread(p) for p in paths]
+
+
+def probe_oriented_size(path: str, is_portrait: bool) -> Tuple[int, int]:
+    """(w, h) AFTER orient_capture, from the codec header only (no pixel
+    decode) — lets the pipeline compute scales before decoding anything."""
+    from . import native
+    wh = native.probe_image(path)
+    if wh is None:
+        with Image.open(path) as im:
+            wh = im.size  # (w, h), header-only
+    w, h = wh
+    return (h, w) if is_portrait else (w, h)
 
 
 def imwrite(path: str, img: np.ndarray, quality: int = 95) -> None:

@@ -64,6 +64,18 @@ def available() -> bool:
     return lib is not None
 
 
+def probe_image(path: str) -> Optional[tuple]:
+    """Header-only (w, h) probe — no pixel decode; None if unavailable."""
+    if lib is None:
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    if lib.sr_probe_image(path.encode(), ctypes.byref(w),
+                          ctypes.byref(h)) != 0:
+        return None
+    return (w.value, h.value)
+
+
 def read_image(path: str) -> Optional[np.ndarray]:
     """Decode JPEG/PNG to uint8 RGB; None if unavailable/failed."""
     if lib is None:

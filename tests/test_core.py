@@ -144,3 +144,12 @@ def test_rotations():
     np.testing.assert_array_equal(r90[0, 0], img[-1, 0])
     r180 = image_io.rotate_180(img)
     np.testing.assert_array_equal(r180[0, 0], img[-1, -1])
+
+
+def test_probe_oriented_size(tmp_path):
+    from image_stitching_tpu.core.image_io import (imwrite,
+                                                   probe_oriented_size)
+    p = str(tmp_path / "img.jpg")
+    imwrite(p, np.zeros((48, 64, 3), np.uint8))
+    assert probe_oriented_size(p, is_portrait=False) == (64, 48)
+    assert probe_oriented_size(p, is_portrait=True) == (48, 64)
