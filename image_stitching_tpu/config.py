@@ -99,6 +99,10 @@ class StitchConfig:
     use_sharded_compose: bool = False  # shard the compose canvas over the
                                      # mesh 'sp' axis (gigapixel mode;
                                      # needs >1 device, MULTI_BAND/NO blend)
+    fast_ingest: bool = True         # luma-only + DCT-scaled native JPEG
+                                     # decode on background threads (falls
+                                     # back to the legacy full-RGB loop for
+                                     # PNG / non-uniform / no native lib)
 
     def replace(self, **kw) -> "StitchConfig":
         return dataclasses.replace(self, **kw)

@@ -15,6 +15,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 __all__ = ["lib", "available", "read_image", "read_images",
+           "read_image_opts", "DecodeSession", "scaled_dims",
            "exif_description", "biggest_component", "edt_sq", "dp_seam",
            "write_jpeg"]
 
@@ -58,6 +59,18 @@ if lib is not None:
     lib.sr_edt_sq.restype = None
     lib.sr_dp_seam.argtypes = [f32_p, c_int, c_int, i32_p]
     lib.sr_dp_seam.restype = None
+    lib.sr_read_jpeg_opts.argtypes = [c_char_p, u8_p, ctypes.c_int64,
+                                      ctypes.POINTER(c_int),
+                                      ctypes.POINTER(c_int), c_int, c_int]
+    lib.sr_decode_start.argtypes = [c_char_p, c_int, i32_p, i32_p,
+                                    ctypes.POINTER(ctypes.c_void_p),
+                                    np.ctypeslib.ndpointer(
+                                        np.int64, flags="C_CONTIGUOUS"),
+                                    i32_p, i32_p, i32_p, c_int]
+    lib.sr_decode_start.restype = ctypes.c_void_p
+    lib.sr_decode_wait.argtypes = [ctypes.c_void_p, c_int]
+    lib.sr_decode_finish.argtypes = [ctypes.c_void_p]
+    lib.sr_decode_finish.restype = None
 
 
 def available() -> bool:
@@ -115,6 +128,92 @@ def read_images(paths: Sequence[str],
     if rc != 0:
         return None
     return [np.ascontiguousarray(out[i, :hs[i], :ws[i]]) for i in range(n)]
+
+
+def scaled_dims(w: int, h: int, denom: int) -> Tuple[int, int]:
+    """libjpeg DCT-scaled output dims for scale 1/denom: ceil(dim/denom)."""
+    return (-(-w // denom), -(-h // denom))
+
+
+def read_image_opts(path: str, gray: bool = False,
+                    denom: int = 1) -> Optional[np.ndarray]:
+    """JPEG decode with luma-only and/or DCT 1/denom scaling.
+
+    Returns (H, W) uint8 when gray else (H, W, 3); None if unavailable.
+    """
+    if lib is None:
+        return None
+    wh = probe_image(path)
+    if wh is None:
+        return None
+    ow, oh = scaled_dims(wh[0], wh[1], denom)
+    shape = (oh, ow) if gray else (oh, ow, 3)
+    out = np.empty(shape, np.uint8)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.sr_read_jpeg_opts(path.encode(), out, out.size,
+                               ctypes.byref(w), ctypes.byref(h),
+                               1 if gray else 0, denom)
+    if rc != 0 or (w.value, h.value) != (ow, oh):
+        return None
+    return out
+
+
+class DecodeSession:
+    """Background-thread decode of a list of (path, gray, denom) items.
+
+    Buffers are preallocated from header probes; `wait(i)` blocks (GIL
+    released inside ctypes) until item i is decoded and returns its array.
+    The worker threads decode ahead while the caller uploads — decode of
+    item i+1 overlaps the tunnel transfer of item i even on one core.
+    """
+
+    def __init__(self, items: Sequence[Tuple[str, bool, int]],
+                 nthreads: int = 2):
+        assert lib is not None
+        n = len(items)
+        self._arrays: List[np.ndarray] = []
+        grays = np.zeros(n, np.int32)
+        denoms = np.ones(n, np.int32)
+        caps = np.zeros(n, np.int64)
+        ptrs = (ctypes.c_void_p * n)()
+        paths = []
+        for i, (path, gray, denom) in enumerate(items):
+            wh = probe_image(path)
+            if wh is None:
+                raise OSError(f"cannot probe {path}")
+            ow, oh = scaled_dims(wh[0], wh[1], denom)
+            arr = np.empty((oh, ow) if gray else (oh, ow, 3), np.uint8)
+            self._arrays.append(arr)
+            grays[i] = 1 if gray else 0
+            denoms[i] = denom
+            caps[i] = arr.size
+            ptrs[i] = arr.ctypes.data
+            paths.append(path)
+        self._ws = np.zeros(n, np.int32)
+        self._hs = np.zeros(n, np.int32)
+        self._rcs = np.zeros(n, np.int32)
+        self._handle = lib.sr_decode_start(
+            "\n".join(paths).encode(), n, grays, denoms, ptrs, caps,
+            self._ws, self._hs, self._rcs, nthreads)
+        self._finished = False
+
+    def wait(self, i: int) -> np.ndarray:
+        rc = lib.sr_decode_wait(self._handle, i)
+        if rc != 0:
+            raise OSError(f"decode failed for item {i} (rc={rc})")
+        return self._arrays[i]
+
+    def finish(self) -> None:
+        if not self._finished and self._handle:
+            lib.sr_decode_finish(self._handle)
+            self._finished = True
+
+    def __del__(self):  # pragma: no cover - GC safety net
+        try:
+            self.finish()
+        except Exception:
+            pass
 
 
 def write_jpeg(path: str, img: np.ndarray, quality: int = 95,

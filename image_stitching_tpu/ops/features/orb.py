@@ -37,8 +37,8 @@ import numpy as np
 from ..imgproc import gaussian_blur, resize, scale_size
 from .types import Features
 
-__all__ = ["orb_detect_and_describe", "make_brief_pattern", "fast_score_map",
-           "harris_response_map"]
+__all__ = ["orb_detect_and_describe", "orb_detect_stack",
+           "make_brief_pattern", "fast_score_map", "harris_response_map"]
 
 _FAST_RING = np.array([
     (0, 3), (1, 3), (2, 2), (3, 1), (3, 0), (3, -1), (2, -2), (1, -3),
@@ -280,6 +280,46 @@ def _orb_impl(gray: jnp.ndarray, pattern: jnp.ndarray, *, n_features: int,
             return jnp.pad(x, cfg)
         out = jax.tree.map(pad, out)
     return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_features", "n_levels", "scale_factor", "patch_size",
+                     "fast_threshold", "base_hw"))
+def _orb_stack_impl(grays, pattern, *, n_features: int, n_levels: int,
+                    scale_factor: float, patch_size: int,
+                    fast_threshold: float,
+                    base_hw: Tuple[int, int]) -> Features:
+    def one(g):
+        return _orb_impl(g, pattern, n_features=n_features,
+                         n_levels=n_levels, scale_factor=scale_factor,
+                         patch_size=patch_size,
+                         fast_threshold=fast_threshold, base_hw=base_hw)
+    # lax.map (not vmap): detection over the whole stack compiles to ONE
+    # device program (one dispatch instead of N host round trips) while the
+    # sequential image loop keeps peak HBM at one image's working set —
+    # the FAST ring stack alone is 16 x H x W floats per image.
+    return jax.lax.map(one, grays)
+
+
+def orb_detect_stack(grays, n_features: int = 4000,
+                     scale_factor: float = 1.2, n_levels: int = 8,
+                     patch_size: int = 40, fast_threshold: float = 20.0,
+                     pattern: np.ndarray = None) -> Features:
+    """Detect + describe a uniform image stack in one device program.
+
+    `grays` is (N, H, W); returns batched `Features` with leading axis N.
+    Replaces the reference's per-image detect loop
+    (`image_stitching.cpp:567-622`) with a single dispatch.
+    """
+    if pattern is None:
+        pattern = make_brief_pattern(patch_size)
+    grays = jnp.asarray(grays)
+    return _orb_stack_impl(
+        grays, jnp.asarray(pattern), n_features=n_features,
+        n_levels=n_levels, scale_factor=scale_factor, patch_size=patch_size,
+        fast_threshold=fast_threshold,
+        base_hw=(grays.shape[1], grays.shape[2]))
 
 
 def orb_detect_and_describe(gray, n_features: int = 4000,

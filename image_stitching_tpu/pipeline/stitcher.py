@@ -150,37 +150,91 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
         raise ValueError("Need at least two images to stitch")
 
     # ---- ingestion + sensor priors (:306-528) ----
+    fast = None
     with stage_timer("Reading images and priors", times):
         if cfg.use_sensor_priors:
             priors, is_portrait = _load_priors(paths)
         else:
             priors, is_portrait = None, False
-        # Decode one image at a time and start its (async) device upload
-        # immediately: host decode of image i+1 overlaps the tunnel
-        # transfer of image i.
-        full_imgs = []
-        device_imgs = []
-        for p in paths:
-            im = image_io.orient_capture(image_io.imread(p), is_portrait)
-            full_imgs.append(im)
-            device_imgs.append(jax.device_put(im))
-    full_sizes = [(im.shape[1], im.shape[0]) for im in full_imgs]  # (w, h)
 
-    # ---- scales (:589-609) ----
-    area0 = full_sizes[0][0] * full_sizes[0][1]
-    work_scale = 1.0 if cfg.work_megapix < 0 else min(
-        1.0, float(np.sqrt(cfg.work_megapix * 1e6 / area0)))
-    seam_scale = min(1.0, float(np.sqrt(cfg.seam_megapix * 1e6 / area0)))
-    seam_work_aspect = seam_scale / work_scale
+        # Header-only size probe -> the three-scale scheme (:589-609,
+        # :1105-1117) is known BEFORE any pixel decode, so the decoder can
+        # run luma-only / DCT-scaled (pipeline/ingest.py).
+        full_sizes = [image_io.probe_oriented_size(p, is_portrait)
+                      for p in paths]                      # (w, h)
+        area0 = full_sizes[0][0] * full_sizes[0][1]
+        work_scale = 1.0 if cfg.work_megapix < 0 else min(
+            1.0, float(np.sqrt(cfg.work_megapix * 1e6 / area0)))
+        seam_scale = min(1.0, float(np.sqrt(cfg.seam_megapix * 1e6 /
+                                            area0)))
+        seam_work_aspect = seam_scale / work_scale
+        want_feats = cfg.find_features and cfg.serialize_data
+
+        compose_scale = 1.0
+        if cfg.compose_megapix > 0:
+            compose_scale = min(1.0, float(
+                np.sqrt(cfg.compose_megapix * 1e6 / area0)))
+        # The reference skips the compose resize when scale is within 10%
+        # of 1 (:1143) — then compositing consumes FULL-res pixels.
+        compose_src_scale = (compose_scale
+                             if abs(compose_scale - 1) > 1e-1 else 1.0)
+
+        if cfg.fast_ingest and not cfg.timelapse:
+            from .ingest import start_fast_ingest
+            fast = start_fast_ingest(
+                paths, is_portrait, want_gray=want_feats,
+                gray_scale=work_scale,
+                rgb_scale=max(seam_scale, compose_src_scale))
+        if fast is not None:
+            gray_stack_raw, rgb_stack_raw = fast.upload()
+            full_imgs = None
+        else:
+            # Legacy loop: decode full RGB one image at a time and start
+            # its (async) device upload immediately — host decode of image
+            # i+1 overlaps the tunnel transfer of image i.
+            full_imgs = []
+            device_imgs = []
+            for p in paths:
+                im = image_io.orient_capture(image_io.imread(p),
+                                             is_portrait)
+                full_imgs.append(im)
+                device_imgs.append(jax.device_put(im))
+            full_sizes = [(im.shape[1], im.shape[0]) for im in full_imgs]
 
     n = len(paths)
     uniform = len(set(full_sizes)) == 1
     seam_imgs = []
     feats: List[Features] = []
-    want_feats = cfg.find_features and cfg.serialize_data
+    fstack: Optional[Features] = None
     with stage_timer("Finding features", times):
         stack_u8 = None
-        if uniform:
+        h0, w0 = full_sizes[0][1], full_sizes[0][0]
+        if fast is not None:
+            from .ingest import fast_prep
+            work_hw = (scale_size(h0, w0, work_scale)
+                       if work_scale != 1.0 else (h0, w0))
+            seam_hw = scale_size(h0, w0, seam_scale)
+            gray_work, rgb_oriented, seam_stack = fast_prep(
+                fast, gray_stack_raw, rgb_stack_raw, is_portrait, work_hw,
+                seam_hw)
+            if want_feats:
+                if cfg.features_type == "orb":
+                    from ..ops.features.orb import orb_detect_stack
+                    fstack = orb_detect_stack(
+                        gray_work, n_features=cfg.num_features)
+                else:
+                    fstack = Features.stack([
+                        detect_features(gray_work[i], cfg)
+                        for i in range(n)])
+            stack_u8 = rgb_oriented
+            seam_np = np.asarray(seam_stack)
+            seam_imgs = [seam_np[i] for i in range(n)]
+            if want_feats and logger.isEnabledFor(20):
+                counts = np.asarray(fstack.count())
+                for i in range(n):
+                    logger.info("Features in image #%d: %d", i + 1,
+                                int(counts[i]))
+        elif uniform:
             # Streamed per-image programs: each image's resize + gray +
             # detect is dispatched as soon as its (async) upload is queued,
             # so device work overlaps the next image's JPEG decode.  One
@@ -239,7 +293,8 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
     if cfg.find_features:
         if cfg.serialize_data:
             with stage_timer("Pairwise matching", times):
-                fstack = Features.stack(feats)
+                if fstack is None:
+                    fstack = Features.stack(feats)
                 pm = match_all_pairs(
                     fstack, jax.random.PRNGKey(cfg.seed),
                     match_conf=cfg.match_conf, matcher_type=cfg.matcher_type,
@@ -293,7 +348,7 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
                     lambda x: x[sub] if x.ndim >= 2 and
                     x.shape[:2] == (n, n) else x, pm)
                 f_sub = jax.tree.map(
-                    lambda x: x[np.asarray(indices)], Features.stack(feats))
+                    lambda x: x[np.asarray(indices)], fstack)
                 problem = pack_correspondences(f_sub, pm_sub,
                                                cfg.conf_thresh)
                 cameras = bundle_adjust(seed_cams, problem,
@@ -334,9 +389,12 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
                                                cfg.wave_correct)))
 
     paths = [paths[i] for i in indices]
-    full_imgs = [full_imgs[i] for i in indices]
+    if full_imgs is not None:
+        full_imgs = [full_imgs[i] for i in indices]
     full_sizes = [full_sizes[i] for i in indices]
     seam_imgs = [seam_imgs[i] for i in indices]
+    if stack_u8 is not None and len(indices) != stack_u8.shape[0]:
+        stack_u8 = stack_u8[np.asarray(indices)]
     n = len(paths)
 
     # ---- seam-scale warping (:884-995) ----
@@ -406,10 +464,8 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
     # ---- compositing (:1075-1229) ----
     timelapse_frames: List[str] = []
     with stage_timer("Compositing", times):
-        compose_scale = 1.0
-        if cfg.compose_megapix > 0:
-            compose_scale = min(1.0, float(
-                np.sqrt(cfg.compose_megapix * 1e6 / area0)))
+        # compose_scale was computed up front (reading stage) so the
+        # decoder could plan DCT-scaled decodes.
         compose_work_aspect = compose_scale / work_scale
         warped_image_scale *= compose_work_aspect
         warper = make_warper(cfg.warp_type, warped_image_scale)
@@ -440,8 +496,10 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
                          len(indices) == stack_u8.shape[0]
                          else jnp.asarray(np.stack(full_imgs)))
             if abs(compose_scale - 1) > 1e-1:
-                h0, w0 = full_imgs[0].shape[:2]
-                chw = scale_size(h0, w0, compose_scale)
+                # Target dims from the FULL-res size: src_stack may be at
+                # a reduced decode scale on the fast-ingest path.
+                chw = scale_size(full_sizes[0][1], full_sizes[0][0],
+                                 compose_scale)
                 comp_imgs = jax.vmap(lambda im: resize(im, chw))(src_stack)
             else:
                 comp_imgs = src_stack
@@ -465,10 +523,11 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
             timelapser = None
             for i in range(n):
                 logger.info("Compositing image #%d", i + 1)
-                img = jnp.asarray(full_imgs[i])
+                img = (jnp.asarray(full_imgs[i]) if full_imgs is not None
+                       else stack_u8[i])
                 if abs(compose_scale - 1) > 1e-1:
                     img = resize(img, scale_size(
-                        img.shape[0], img.shape[1], compose_scale))
+                        full_sizes[i][1], full_sizes[i][0], compose_scale))
                 corner, img_w = warper.warp(
                     img, kc_all[i], r_all[i],
                     dst_roi=(comp_corners[i][0], comp_corners[i][1],

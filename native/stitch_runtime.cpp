@@ -14,12 +14,14 @@
 
 #include <algorithm>
 #include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <csetjmp>
 #include <functional>
 #include <limits>
+#include <mutex>
 #include <string>
 #include <thread>
 #include <vector>
@@ -95,6 +97,51 @@ int sr_read_jpeg(const char* path, uint8_t* out, int cap, int* w, int* h) {
     *h = height;
     while (cinfo.output_scanline < cinfo.output_height) {
         JSAMPROW row = out + size_t(cinfo.output_scanline) * width * 3;
+        jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return 0;
+}
+
+// Decode JPEG with options: gray != 0 -> luma-only output (1 byte/px,
+// skips chroma upsampling + RGB conversion, ~2-3x faster than RGB);
+// denom in {1, 2, 4, 8} -> libjpeg DCT-scaled decode at 1/denom per axis
+// (IDCT work drops ~denom^2).  out must hold ceil(w/denom) * ceil(h/denom)
+// * (gray ? 1 : 3).  Returns 0 on success; *w/*h get the OUTPUT dims.
+int sr_read_jpeg_opts(const char* path, uint8_t* out, int64_t cap, int* w,
+                      int* h, int gray, int denom) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -1;
+    jpeg_decompress_struct cinfo;
+    JpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = jpeg_err_exit;
+    if (setjmp(jerr.jb)) {
+        jpeg_destroy_decompress(&cinfo);
+        fclose(f);
+        return -2;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_stdio_src(&cinfo, f);
+    jpeg_read_header(&cinfo, TRUE);
+    cinfo.out_color_space = gray ? JCS_GRAYSCALE : JCS_RGB;
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = (denom == 2 || denom == 4 || denom == 8) ? denom : 1;
+    jpeg_start_decompress(&cinfo);
+    const int width = cinfo.output_width;
+    const int height = cinfo.output_height;
+    const int ncomp = cinfo.output_components;  // 1 (gray) or 3 (RGB)
+    if (int64_t(width) * height * ncomp > cap) {
+        jpeg_destroy_decompress(&cinfo);
+        fclose(f);
+        return -3;
+    }
+    *w = width;
+    *h = height;
+    while (cinfo.output_scanline < cinfo.output_height) {
+        JSAMPROW row = out + size_t(cinfo.output_scanline) * width * ncomp;
         jpeg_read_scanlines(&cinfo, &row, 1);
     }
     jpeg_finish_decompress(&cinfo);
@@ -301,6 +348,106 @@ int sr_read_images(const char* joined_paths, int n, uint8_t* out,
     for (int i = 0; i < t; ++i) threads.emplace_back(work);
     for (auto& th : threads) th.join();
     return err.load();
+}
+
+// ---------------------------------------------------------------------------
+// Async decode session: background worker threads decode a list of images
+// (each with its own gray/denom options) into caller-provided buffers while
+// the calling (Python) thread blocks only on the next image it needs —
+// decode of image i+1 overlaps the tunnel upload of image i even on one
+// core, because uploads are IO-bound waits that yield the CPU.
+// ---------------------------------------------------------------------------
+
+struct DecodeSession {
+    std::vector<std::string> paths;
+    std::vector<int> gray, denom;
+    std::vector<uint8_t*> outs;
+    std::vector<int64_t> caps;
+    int* ws;
+    int* hs;
+    int* rcs;
+    std::vector<int> done;  // guarded by mu (0 = pending, 1 = finished)
+    std::mutex mu;
+    std::condition_variable cv;
+    std::atomic<int> next{0};
+    std::vector<std::thread> threads;
+
+    explicit DecodeSession(int n) : done(n, 0) {}
+};
+
+static void decode_one(DecodeSession* s, int i) {
+    int rc;
+    const char* p = s->paths[i].c_str();
+    FILE* f = fopen(p, "rb");
+    uint8_t magic[2] = {0, 0};
+    size_t got = f ? fread(magic, 1, 2, f) : 0;
+    if (f) fclose(f);
+    if (got == 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
+        rc = sr_read_jpeg_opts(p, s->outs[i], s->caps[i], s->ws + i,
+                               s->hs + i, s->gray[i], s->denom[i]);
+    } else if (got == 2 && magic[0] == 0x89 && magic[1] == 'P' &&
+               !s->gray[i] && s->denom[i] == 1) {
+        rc = sr_read_png(p, s->outs[i], int(s->caps[i]), s->ws + i,
+                         s->hs + i);
+    } else {
+        rc = -4;  // options unsupported for this codec
+    }
+    s->rcs[i] = rc;
+    {
+        std::lock_guard<std::mutex> lk(s->mu);
+        s->done[i] = 1;
+    }
+    s->cv.notify_all();
+}
+
+// Start decoding n images on `nthreads` background threads.  outs[i] must
+// hold caps[i] bytes; ws/hs/rcs are n-element result arrays owned by the
+// caller (valid until sr_decode_finish).  Returns an opaque handle.
+void* sr_decode_start(const char* joined_paths, int n, const int* gray,
+                      const int* denom, uint8_t* const* outs,
+                      const int64_t* caps, int* ws, int* hs, int* rcs,
+                      int nthreads) {
+    auto* s = new DecodeSession(n);
+    const char* p = joined_paths;
+    for (int i = 0; i < n; ++i) {
+        const char* e = strchr(p, '\n');
+        if (!e) e = p + strlen(p);
+        s->paths.emplace_back(p, e - p);
+        p = (*e) ? e + 1 : e;
+    }
+    s->gray.assign(gray, gray + n);
+    s->denom.assign(denom, denom + n);
+    s->outs.assign(outs, outs + n);
+    s->caps.assign(caps, caps + n);
+    s->ws = ws;
+    s->hs = hs;
+    s->rcs = rcs;
+    int t = std::max(1, std::min(nthreads, n));
+    for (int k = 0; k < t; ++k)
+        s->threads.emplace_back([s]() {
+            for (;;) {
+                int i = s->next.fetch_add(1);
+                if (i >= int(s->paths.size())) return;
+                decode_one(s, i);
+            }
+        });
+    return s;
+}
+
+// Block until image i is decoded; returns its rc.  Call with the GIL
+// released (ctypes does) so the worker thread gets the core.
+int sr_decode_wait(void* handle, int i) {
+    auto* s = static_cast<DecodeSession*>(handle);
+    std::unique_lock<std::mutex> lk(s->mu);
+    s->cv.wait(lk, [&]() { return s->done[i] != 0; });
+    return s->rcs[i];
+}
+
+// Join workers and free the session (buffers stay with the caller).
+void sr_decode_finish(void* handle) {
+    auto* s = static_cast<DecodeSession*>(handle);
+    for (auto& t : s->threads) t.join();
+    delete s;
 }
 
 // ---------------------------------------------------------------------------

@@ -107,3 +107,44 @@ def test_imread_dispatch_uses_native(tmp_path, rng):
     np.testing.assert_array_equal(image_io.imread(p), img)
     out = image_io.imread_batch([p, p])
     assert len(out) == 2
+
+
+def test_read_image_opts_gray_and_scaled(tmp_path, rng):
+    img = rng.integers(0, 255, (120, 200, 3), dtype=np.uint8)
+    p = str(tmp_path / "1.jpg")
+    Image.fromarray(img).save(p, quality=95)
+    full = native.read_image(p)
+    g = native.read_image_opts(p, gray=True, denom=1)
+    assert g.shape == (120, 200)
+    # JPEG luma == BT.601 gray of the RGB decode (rounding only).
+    ref = (0.299 * full[..., 0] + 0.587 * full[..., 1] +
+           0.114 * full[..., 2])
+    assert np.abs(g.astype(np.float64) - ref).mean() < 1.0
+    # DCT-scaled decode: dims are ceil(dim/denom); content is a proper
+    # low-pass of the full image.
+    q = native.read_image_opts(p, gray=False, denom=4)
+    assert q.shape == (30, 50, 3)
+    coarse = full.reshape(30, 4, 50, 4, 3).mean((1, 3))
+    assert np.abs(q.astype(np.float64) - coarse).mean() < 12.0
+
+
+def test_decode_session_orders_and_matches(tmp_path, rng):
+    paths = []
+    imgs = []
+    for i in range(4):
+        img = rng.integers(0, 255, (60, 80, 3), dtype=np.uint8)
+        p = str(tmp_path / f"{i}.jpg")
+        Image.fromarray(img).save(p, quality=95)
+        paths.append(p)
+        imgs.append(img)
+    items = []
+    for p in paths:
+        items.append((p, True, 1))
+        items.append((p, False, 2))
+    s = native.DecodeSession(items, nthreads=2)
+    for i, p in enumerate(paths):
+        g = s.wait(2 * i)
+        q = s.wait(2 * i + 1)
+        assert np.array_equal(g, native.read_image_opts(p, gray=True))
+        assert np.array_equal(q, native.read_image_opts(p, denom=2))
+    s.finish()

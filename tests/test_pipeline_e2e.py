@@ -167,3 +167,26 @@ def test_sharded_compose_e2e_matches_default(stitched, capture_dir, tmp_path):
     diff = np.abs(res2.panorama.astype(np.float32) -
                   res1.panorama.astype(np.float32))[both]
     assert float(np.mean(diff)) < 1.0, float(np.mean(diff))
+
+
+def test_fast_ingest_scaled_decode_parity(capture_dir, tmp_path):
+    """fast_ingest with capped compose/work megapix (DCT-scaled RGB +
+    luma-only gray decode) stitches the same panorama as the legacy
+    full-RGB path, to small photometric tolerance."""
+    d, images, k, rs = capture_dir
+    h, w = HW
+    mp = h * w / 1e6
+    results = {}
+    for fast in (False, True):
+        run = tmp_path / ("fast" if fast else "legacy")
+        run.mkdir()
+        os.chdir(run)
+        cfg = small_cfg(checkpoint_dir=str(run), fast_ingest=fast,
+                        compose_megapix=mp / 4, seam_megapix=0.02)
+        results[fast] = stitch(d, cfg, output="")
+    a, b = results[False], results[True]
+    assert a.kept_indices == b.kept_indices
+    assert a.panorama.shape == b.panorama.shape
+    both = a.mask & b.mask
+    diff = np.abs(a.panorama - b.panorama)[both]
+    assert diff.mean() < 8.0, diff.mean()
