@@ -5,44 +5,47 @@ Replaces cv::detail::ExposureCompensator configured at
 (GAIN_BLOCKS default, nr_feeds=1, nr_filtering=2, block=64) and applied per
 image at `:1162`.
 
-TPU-first redesign (not a port of OpenCV's per-pair pixel loops):
-  * every warped image is placed on the global canvas grid; overlap
-    statistics become batched masked reductions over canvas *cells*
-    (cell = block for *_BLOCKS, cell = whole canvas otherwise);
-  * the pairwise gain system — the standard least squares
+Exact cv2 semantics (decoded numerically against cv2.detail and verified in
+tests/test_ops.py):
+
+  * GAIN / CHANNELS: the pairwise least-squares gain system
       sum_ij N_ij [ alpha (g_i I_ij - g_j I_ji)^2 + beta (1 - g_i)^2 ]
-    with OpenCV's alpha=0.01, beta=100 — is assembled as one batched
-    (cells, N, N) matrix and solved with one batched `jnp.linalg.solve`;
-    with canvas-aligned cells the global block system decouples per cell,
-    which is what makes this formulation equivalent to OpenCV's
-    all-blocks-one-system solve while running as pure dense linear algebra;
-  * block gain maps are mean-filtered `nr_filtering` times (separable
-    [1 2 1]/4, OpenCV's gain filtering) and bilinearly upsampled onto each
-    image ROI at apply time.
+    with OpenCV's alpha=0.01, beta=100; the self-overlap N(i,i) (the
+    image's own pixel count) enters the beta prior terms only, the alpha
+    exposure-difference terms carry a factor 2, intensity is the L2 norm
+    of the RGB triple (GainCompensator uses norm(Vec3b)); CHANNELS solves
+    the same system per channel.
+  * *_BLOCKS (cv::detail::BlocksCompensator): each image is tiled into a
+    PER-IMAGE block grid — ceil(size/block) blocks of ceil(size/blocks)
+    pixels, last block clipped — and every block is fed as a separate
+    "image" into the same gain system (one global B_total x B_total
+    solve).  Blocks of the same image never overlap, so they couple only
+    through blocks of other images, exactly like OpenCV.  Block pairs
+    whose RECTS intersect but whose masks do not still contribute
+    N = max(1, 0) = 1 with I = 0 (OpenCV's countNonZero floor).
+    The per-image gain maps are then smoothed `nr_filtering` times with
+    the separable [1 2 1]/4 kernel under BORDER_REFLECT_101 (sepFilter2D's
+    default border), and at apply time the map is bilinearly stretched
+    over the image (cv2::resize INTER_LINEAR semantics) and multiplied in.
 
-Intensity is the L2 norm of the RGB triple (OpenCV GainCompensator uses
-norm(Vec3b)); CHANNELS variants solve the same system per channel.
-
-Parity (decoded numerically against cv2.detail): GAIN and CHANNELS gains
-match GainCompensator / ChannelsCompensator to ~1e-4 (vec-norm intensity,
-self-count N(i,i) in the beta prior terms only, factor-2 alpha terms).
-The *_BLOCKS variants keep the canvas-anchored decoupled cell grid (a
-deliberate TPU-friendly delta vs cv2's per-image block grids); applied
-output agrees to a few percent (tested in tests/test_ops.py).
+The solve runs in float64 on the host like OpenCV's (double + DECOMP_SVD):
+the stats are a few-KB reduction of seam-scale images (already host-side
+for seam finding) and the system is at most a few thousand unknowns, far
+below the threshold where the device pays for itself.  The APPLY side — a
+multiply over every compose-scale pixel — stays on device (the fused
+compose path samples the gain maps in `pipeline/compose_fused.py`).
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import List, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import ExposureCompensatorType as ECType
-from .warps import result_roi
+from .imgproc import resize
 
 __all__ = ["ExposureCompensator", "feed", "apply_gain"]
 
@@ -52,109 +55,74 @@ _BETA = 100.0
 
 @dataclasses.dataclass
 class ExposureCompensator:
-    """Fitted gains.  For block types, `gains` is (N, Gy, Gx[, C]); for
-    global types, (N[, C]).  `canvas_roi` anchors the cell grid."""
+    """Fitted gains.
+
+    Global types: `gains` is (N,) (GAIN) or (N, 3) (CHANNELS).
+    Block types: `gains` is (N, Gy_max, Gx_max) or (..., 3), zero-padded to
+    the largest grid; `grid_sizes[i] = (gy_i, gx_i)` is image i's actual
+    per-image block-grid shape (cv2 grids differ per image size)."""
     comp_type: ECType
     gains: np.ndarray
-    canvas_roi: Tuple[int, int, int, int]
-    block_size: int
+    grid_sizes: np.ndarray  # (N, 2) int; (1, 1) rows for global types
 
 
-def _solve_gain_system(n_pix: jnp.ndarray, i_mean: jnp.ndarray) -> jnp.ndarray:
-    """n_pix: (..., N, N) overlap pixel counts; i_mean: (..., N, N) mean
-    intensity of image i over overlap(i, j).  Returns (..., N) gains."""
-    n = n_pix.shape[-1]
-    i_ij = i_mean
-    i_ji = jnp.swapaxes(i_mean, -1, -2)
-    # Decoded numerically against cv2.detail.GainCompensator: the
-    # self-overlap N(i,i) (the image's own pixel count) appears in the
-    # beta prior terms (both A(i,i) and b(i)) but NOT in the alpha
-    # exposure-difference terms, and the alpha terms carry a factor 2.
-    npix = n_pix * (1.0 - jnp.eye(n))
-    a = -2.0 * _ALPHA * i_ij * i_ji * npix
-    diag = (_BETA * jnp.sum(n_pix, axis=-1) +
-            2.0 * _ALPHA * jnp.sum(i_ij * i_ij * npix, axis=-1))
-    a = a * (1.0 - jnp.eye(n)) + jnp.eye(n) * diag[..., None, :] * 0.0
-    a = a.at[..., jnp.arange(n), jnp.arange(n)].set(diag)
-    b = _BETA * jnp.sum(n_pix, axis=-1)
-    # Images absent from a cell get an identity row -> gain 1.
-    reg = jnp.where(diag < 1e-6, 1.0, 0.0)
-    a = a + jnp.eye(n) * reg[..., None, :]
-    b = b + reg
-    return jnp.linalg.solve(a, b[..., None])[..., 0]
+def _block_grid(w: int, h: int, block: int) -> Tuple[int, int, int, int]:
+    """cv::detail::BlocksCompensator::feed block layout for one image:
+    (grid_w, grid_h, block_w, block_h) with OpenCV's ceil-twice rounding."""
+    gw = (w + block - 1) // block
+    gh = (h + block - 1) // block
+    bw = (w + gw - 1) // gw
+    bh = (h + gh - 1) // gh
+    return gw, gh, bw, bh
 
 
-@functools.partial(jax.jit, static_argnames=("cell", "per_channel"))
-def _cell_stats(canvas_vals: jnp.ndarray, canvas_mask: jnp.ndarray,
-                cell: int, per_channel: bool):
-    """canvas_vals: (N, H, W[, C]) intensity (or channels);
-    canvas_mask: (N, H, W) in {0,1}.  Returns per-cell pairwise stats:
-    n_pix (G, N, N), i_mean (G, N, N[, C])."""
-    n, h, w = canvas_mask.shape
-    gy, gx = h // cell, w // cell
-    p = cell * cell
-    m = canvas_mask.reshape(n, gy, cell, gx, cell)
-    m = m.transpose(1, 3, 0, 2, 4).reshape(gy * gx, n, p)
-    n_pix = jax.lax.dot_general(
-        m.astype(jnp.bfloat16), m.astype(jnp.bfloat16),
-        (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
-
-    def one_channel(vals):
-        v = vals.reshape(n, gy, cell, gx, cell)
-        v = v.transpose(1, 3, 0, 2, 4).reshape(gy * gx, n, p)
-        vm = (v * m)
-        i_sum = jax.lax.dot_general(
-            vm.astype(jnp.bfloat16), m.astype(jnp.bfloat16),
-            (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
-        return i_sum / jnp.maximum(n_pix, 1.0)
-
-    if per_channel:
-        i_mean = jnp.stack([one_channel(canvas_vals[..., c])
-                            for c in range(canvas_vals.shape[-1])], axis=-1)
-    else:
-        i_mean = one_channel(canvas_vals)
-    return n_pix, i_mean
+def _overlap_rect(c1, s1, c2, s2):
+    x = max(c1[0], c2[0])
+    y = max(c1[1], c2[1])
+    x2 = min(c1[0] + s1[0], c2[0] + s2[0])
+    y2 = min(c1[1] + s1[1], c2[1] + s2[1])
+    return x, y, x2 - x, y2 - y
 
 
-def _place_on_canvas(images: Sequence[np.ndarray],
-                     masks: Sequence[np.ndarray],
-                     corners: Sequence[Tuple[int, int]],
-                     canvas_roi, cell: int, per_channel: bool):
-    """Host-side paste into (N, Hc, Wc) canvases (intensity or channels +
-    mask), padded up to a multiple of `cell`.  Only the representation the
-    fit needs is built (the RGB canvas stack is 3x the upload)."""
-    cx, cy, cw, ch = canvas_roi
-    hc = -(-ch // cell) * cell
-    wc = -(-cw // cell) * cell
-    n = len(images)
-    shape = (n, hc, wc, 3) if per_channel else (n, hc, wc)
-    vals = np.zeros(shape, np.float32)
-    msk = np.zeros((n, hc, wc), np.float32)
-    for i, (img, m, (x, y)) in enumerate(zip(images, masks, corners)):
-        img = np.asarray(img, np.float32)
-        m = (np.asarray(m) > 0).astype(np.float32)
-        hh, ww = img.shape[:2]
-        oy, ox = y - cy, x - cx
-        if per_channel:
-            vals[i, oy:oy + hh, ox:ox + ww] = img
-        else:
-            vals[i, oy:oy + hh, ox:ox + ww] = np.linalg.norm(img, axis=-1)
-        msk[i, oy:oy + hh, ox:ox + ww] = m
-    return vals, msk
+def _solve_gain_system(n_mat: np.ndarray, i_mat: np.ndarray) -> np.ndarray:
+    """One channel of the OpenCV gain system over B block-images.
+
+    n_mat: (B, B) overlap pixel counts (self-counts on the diagonal);
+    i_mat: (B, B) mean intensity of block a over overlap(a, b).
+    A/b assembled exactly like GainCompensator::singleFeed: self-counts in
+    the beta prior terms only, factor-2 alpha terms, float64 solve."""
+    b_tot = n_mat.shape[0]
+    eye = np.eye(b_tot, dtype=bool)
+    n_off = np.where(eye, 0.0, n_mat)
+    a = -2.0 * _ALPHA * i_mat * i_mat.T * n_off
+    diag = (_BETA * n_mat.sum(axis=1) +
+            2.0 * _ALPHA * (i_mat * i_mat * n_off).sum(axis=1))
+    a[eye] = diag
+    b = _BETA * n_mat.sum(axis=1)
+    # Isolated blocks (no pixels anywhere) still carry N(a,a) = 1 from the
+    # countNonZero floor, so the system is never singular; lstsq mirrors
+    # OpenCV's DECOMP_SVD robustness anyway.
+    return np.linalg.lstsq(a, b, rcond=None)[0]
 
 
-def _filter_gain_map(gmap: jnp.ndarray, iters: int) -> jnp.ndarray:
-    """(N, Gy, Gx[, C]) separable [1 2 1]/4 smoothing, `iters` times,
-    edge-replicated (BlocksCompensator gain filtering)."""
-    def blur(x):
-        xp = jnp.pad(x, [(0, 0), (1, 1), (0, 0)] + [(0, 0)] * (x.ndim - 3),
-                     mode="edge")
-        x = 0.25 * xp[:, :-2] + 0.5 * xp[:, 1:-1] + 0.25 * xp[:, 2:]
-        xp = jnp.pad(x, [(0, 0), (0, 0), (1, 1)] + [(0, 0)] * (x.ndim - 3),
-                     mode="edge")
-        return 0.25 * xp[:, :, :-2] + 0.5 * xp[:, :, 1:-1] + 0.25 * xp[:, :, 2:]
+def _filter_gain_map(gmap: np.ndarray, iters: int) -> np.ndarray:
+    """sepFilter2D with kernel [0.25 0.5 0.25] (both axes), repeated
+    `iters` times, BORDER_REFLECT_101 — cv2 borderInterpolate returns
+    index 0 for length-1 axes, which makes them invariant."""
     for _ in range(iters):
-        gmap = blur(gmap)
+        for ax in (0, 1):
+            if gmap.shape[ax] == 1:
+                continue
+            pad = [(0, 0)] * gmap.ndim
+            pad[ax] = (1, 1)
+            p = np.pad(gmap, pad, mode="reflect")
+            sl = [slice(None)] * gmap.ndim
+
+            def at(k):
+                s = list(sl)
+                s[ax] = slice(k, k + gmap.shape[ax])
+                return p[tuple(s)]
+            gmap = 0.25 * at(0) + 0.5 * at(1) + 0.25 * at(2)
     return gmap
 
 
@@ -162,111 +130,162 @@ def feed(corners, images_warped, masks_warped,
          comp_type: ECType = ECType.GAIN_BLOCKS, nr_feeds: int = 1,
          nr_filtering: int = 2, block_size: int = 64) -> ExposureCompensator:
     """Fit the compensator (compensator->feed at `:1023`)."""
-    sizes = [(img.shape[1], img.shape[0]) for img in images_warped]
-    canvas = result_roi(corners, sizes)
+    n = len(images_warped)
     if comp_type == ECType.NO:
-        return ExposureCompensator(comp_type, np.ones(len(images_warped)),
-                                   canvas, block_size)
+        return ExposureCompensator(comp_type, np.ones(n),
+                                   np.ones((n, 2), np.int32))
 
     blocks = comp_type in (ECType.GAIN_BLOCKS, ECType.CHANNELS_BLOCKS)
     per_channel = comp_type in (ECType.CHANNELS, ECType.CHANNELS_BLOCKS)
-    cx, cy, cw, ch = canvas
-    cell = block_size if blocks else max(
-        1, 1 << int(np.ceil(np.log2(max(cw, ch)))))
-    vals, msk = _place_on_canvas(images_warped, masks_warped, corners,
-                                 canvas, cell, per_channel)
-    src = vals
-    cur_gains = None
+    nch = 3 if per_channel else 1
+
+    imgs = [np.asarray(im, np.float64) for im in images_warped]
+    msks = [np.asarray(m) > 0 for m in masks_warped]
+    sizes = [(im.shape[1], im.shape[0]) for im in imgs]
+    intens = [im if per_channel else
+              np.linalg.norm(im, axis=-1)[..., None] for im in imgs]
+
+    # Block decomposition: one block per image for the global types makes
+    # GAIN/CHANNELS the trivial case of the same machinery.
+    grids: List[Tuple[int, int, int, int]] = []
+    offs: List[int] = []
+    b_tot = 0
+    for w, h in sizes:
+        g = _block_grid(w, h, block_size) if blocks else (1, 1, w, h)
+        grids.append(g)
+        offs.append(b_tot)
+        b_tot += g[0] * g[1]
+
+    n_mat = np.zeros((b_tot, b_tot))
+    i_mat = np.zeros((b_tot, b_tot, nch))
+
+    def block_index_map(i, x0, y0, w, h):
+        """Block index of image i for local pixels [x0, x0+w) x [y0, y0+h)."""
+        gw, _, bw, bh = grids[i]
+        bx = (x0 + np.arange(w)) // bw
+        by = (y0 + np.arange(h)) // bh
+        return by[:, None] * gw + bx[None, :]
+
+    def block_rects(i):
+        gw, gh, bw, bh = grids[i]
+        w, h = sizes[i]
+        bx = np.arange(gw) * bw
+        by = np.arange(gh) * bh
+        x0 = (corners[i][0] + bx)[None, :].repeat(gh, 0).ravel()
+        y0 = (corners[i][1] + by)[:, None].repeat(gw, 1).ravel()
+        x1 = np.minimum(x0 + bw, corners[i][0] + w)
+        y1 = np.minimum(y0 + bh, corners[i][1] + h)
+        return x0, y0, x1, y1
+
+    for i in range(n):
+        gw, gh, _, _ = grids[i]
+        bi = gw * gh
+        ai = offs[i] + np.arange(bi)
+        # Self stats: N(a,a) = max(1, own masked pixel count), I(a,a) =
+        # own masked mean (enters the beta prior only).
+        bmap = block_index_map(i, 0, 0, sizes[i][0], sizes[i][1])
+        key = bmap[msks[i]]
+        cnt = np.bincount(key, minlength=bi).astype(np.float64)
+        n_mat[ai, ai] = np.maximum(cnt, 1.0)
+        for c in range(nch):
+            s = np.bincount(key, weights=intens[i][..., c][msks[i]],
+                            minlength=bi)
+            i_mat[ai, ai, c] = s / np.maximum(cnt, 1.0)
+
+        for j in range(i + 1, n):
+            x, y, w, h = _overlap_rect(corners[i], sizes[i],
+                                       corners[j], sizes[j])
+            if w <= 0 or h <= 0:
+                continue
+            gwj, ghj, _, _ = grids[j]
+            bj = gwj * ghj
+            aj = offs[j] + np.arange(bj)
+            oxi, oyi = x - corners[i][0], y - corners[i][1]
+            oxj, oyj = x - corners[j][0], y - corners[j][1]
+            both = (msks[i][oyi:oyi + h, oxi:oxi + w] &
+                    msks[j][oyj:oyj + h, oxj:oxj + w])
+            bmap_i = block_index_map(i, oxi, oyi, w, h)
+            bmap_j = block_index_map(j, oxj, oyj, w, h)
+            key = (bmap_i * bj + bmap_j)[both]
+            cnt = np.bincount(key, minlength=bi * bj).astype(
+                np.float64).reshape(bi, bj)
+            # Pairs whose rects intersect contribute N >= 1 even with
+            # disjoint masks (OpenCV's max(1, countNonZero) floor).
+            xi0, yi0, xi1, yi1 = block_rects(i)
+            xj0, yj0, xj1, yj1 = block_rects(j)
+            rect_int = ((np.minimum(xi1[:, None], xj1[None, :]) >
+                         np.maximum(xi0[:, None], xj0[None, :])) &
+                        (np.minimum(yi1[:, None], yj1[None, :]) >
+                         np.maximum(yi0[:, None], yj0[None, :])))
+            npair = np.where(rect_int, np.maximum(cnt, 1.0), 0.0)
+            sl_i = slice(offs[i], offs[i] + bi)
+            sl_j = slice(offs[j], offs[j] + bj)
+            n_mat[sl_i, sl_j] = npair
+            n_mat[sl_j, sl_i] = npair.T
+            ii = intens[i][oyi:oyi + h, oxi:oxi + w]
+            ij = intens[j][oyj:oyj + h, oxj:oxj + w]
+            denom = np.maximum(npair, 1.0)
+            for c in range(nch):
+                si = np.bincount(key, weights=ii[..., c][both],
+                                 minlength=bi * bj).reshape(bi, bj)
+                sj = np.bincount(key, weights=ij[..., c][both],
+                                 minlength=bi * bj).reshape(bi, bj)
+                i_mat[sl_i, sl_j, c] = si / denom
+                i_mat[sl_j, sl_i, c] = (sj / denom).T
+
+    # nr_feeds iterations: applying gains scales each block's observed
+    # intensity, i.e. scales I's rows (GainCompensator::feed loop).
+    gains = np.ones((b_tot, nch))
     for _ in range(max(1, nr_feeds)):
-        n_pix, i_mean = _cell_stats(jnp.asarray(src), jnp.asarray(msk), cell,
-                                    per_channel)
+        i_eff = i_mat * gains[:, None, :]
+        for c in range(nch):
+            gains[:, c] *= _solve_gain_system(n_mat, i_eff[..., c])
+
+    if not blocks:
+        g = gains if per_channel else gains[:, 0]
+        return ExposureCompensator(comp_type, np.asarray(g, np.float64),
+                                   np.ones((n, 2), np.int32))
+
+    # Per-image gain maps, filtered, padded to the largest grid.
+    gy_max = max(g[1] for g in grids)
+    gx_max = max(g[0] for g in grids)
+    shape = (n, gy_max, gx_max, 3) if per_channel else (n, gy_max, gx_max)
+    out = np.zeros(shape, np.float32)
+    grid_sizes = np.zeros((n, 2), np.int32)
+    for i in range(n):
+        gw, gh, _, _ = grids[i]
+        gm = gains[offs[i]:offs[i] + gw * gh].reshape(gh, gw, nch)
+        gm = _filter_gain_map(gm, nr_filtering)
         if per_channel:
-            g = jnp.stack([
-                _solve_gain_system(n_pix, i_mean[..., c])
-                for c in range(3)], axis=-1)          # (G, N, C)
+            out[i, :gh, :gw] = gm
         else:
-            g = _solve_gain_system(n_pix, i_mean)      # (G, N)
-        cur_gains = g if cur_gains is None else cur_gains * g
-        if nr_feeds > 1:
-            # Re-feed on gain-corrected intensities.
-            gy = msk.shape[1] // cell
-            gx = msk.shape[2] // cell
-            gmap = np.asarray(g).reshape(gy, gx, len(images_warped), -1)
-            gmap = np.transpose(gmap, (2, 0, 1, 3))
-            up = np.repeat(np.repeat(gmap, cell, 1), cell, 2)
-            src = src * (up[..., 0] if not per_channel else up)
-
-    n_img = len(images_warped)
-    gy = msk.shape[1] // cell
-    gx = msk.shape[2] // cell
-    g = np.asarray(cur_gains)
-    if per_channel:
-        g = g.reshape(gy, gx, n_img, 3).transpose(2, 0, 1, 3)
-    else:
-        g = g.reshape(gy, gx, n_img).transpose(2, 0, 1)
-    if blocks:
-        g = np.asarray(_filter_gain_map(jnp.asarray(g), nr_filtering))
-        return ExposureCompensator(comp_type, g, canvas, cell)
-    # Global types: average the (single) cell grid down to one gain/image.
-    g = g.reshape(n_img, -1, g.shape[-1]).mean(1) if per_channel else \
-        g.reshape(n_img, -1).mean(1)
-    return ExposureCompensator(comp_type, g, canvas, cell)
-
-
-@functools.partial(jax.jit, static_argnames=("cell",))
-def _apply_block_gain(img: jnp.ndarray, gmap: jnp.ndarray,
-                      corner: jnp.ndarray, canvas_tl: jnp.ndarray,
-                      coord_scale: jnp.ndarray, cell: int) -> jnp.ndarray:
-    """Bilinear-sample the cell-grid gain map over the image ROI.
-
-    Pixel (x, y) of a warped image anchored at `corner` maps to gain-grid
-    coords ((corner + p) * coord_scale - canvas_tl) / cell."""
-    h, w = img.shape[:2]
-    gy, gx = gmap.shape[0], gmap.shape[1]
-    ys = ((corner[1] + jnp.arange(h, dtype=jnp.float32) + 0.5) *
-          coord_scale - canvas_tl[1]) / cell - 0.5
-    xs = ((corner[0] + jnp.arange(w, dtype=jnp.float32) + 0.5) *
-          coord_scale - canvas_tl[0]) / cell - 0.5
-    y0 = jnp.clip(jnp.floor(ys), 0, gy - 1)
-    x0 = jnp.clip(jnp.floor(xs), 0, gx - 1)
-    fy = jnp.clip(ys - y0, 0, 1)[:, None]
-    fx = jnp.clip(xs - x0, 0, 1)[None, :]
-    y0i = y0.astype(jnp.int32)
-    x0i = x0.astype(jnp.int32)
-    y1i = jnp.minimum(y0i + 1, gy - 1)
-    x1i = jnp.minimum(x0i + 1, gx - 1)
-    g00 = gmap[y0i[:, None], x0i[None, :]]
-    g01 = gmap[y0i[:, None], x1i[None, :]]
-    g10 = gmap[y1i[:, None], x0i[None, :]]
-    g11 = gmap[y1i[:, None], x1i[None, :]]
-    if gmap.ndim == 3:
-        fy = fy[..., None]
-        fx = fx[..., None]
-    g = (g00 * (1 - fy) * (1 - fx) + g01 * (1 - fy) * fx +
-         g10 * fy * (1 - fx) + g11 * fy * fx)
-    if gmap.ndim == 2:
-        g = g[..., None]
-    return img.astype(jnp.float32) * g
+            out[i, :gh, :gw] = gm[..., 0]
+        grid_sizes[i] = (gh, gw)
+    return ExposureCompensator(comp_type, out, grid_sizes)
 
 
 def apply_gain(comp: ExposureCompensator, index: int, corner, img,
                coord_scale: float = 1.0):
     """compensator->apply(idx, corner, img, mask) at `:1162`.
 
-    `coord_scale` maps the image's warped coordinates into the frame the
-    gains were fitted in (the feed happens at seam scale, the apply at
-    compose scale — `:1023` vs `:1162`; warped coords are proportional to
-    the warper scale, so the ratio is seam/compose warp scale)."""
+    Block modes stretch the per-image gain map over the apply-time image
+    with cv2::resize INTER_LINEAR semantics (BlocksCompensator::apply) —
+    the feed happens at seam scale and the apply at compose scale, and
+    OpenCV simply resizes the map to whatever image it is given.
+    `corner`/`coord_scale` are accepted for signature stability; per-image
+    grids need neither."""
     img = jnp.asarray(img, jnp.float32)
     if comp.comp_type == ECType.NO:
         return img
     if comp.comp_type == ECType.GAIN:
         return img * float(comp.gains[index])
     if comp.comp_type == ECType.CHANNELS:
-        return img * jnp.asarray(comp.gains[index])[None, None, :]
-    gmap = jnp.asarray(comp.gains[index])
-    return _apply_block_gain(
-        img, gmap,
-        jnp.asarray([corner[0], corner[1]], jnp.float32),
-        jnp.asarray([comp.canvas_roi[0], comp.canvas_roi[1]], jnp.float32),
-        jnp.float32(coord_scale), comp.block_size)
+        return img * jnp.asarray(comp.gains[index],
+                                 jnp.float32)[None, None, :]
+    gh, gw = (int(comp.grid_sizes[index][0]), int(comp.grid_sizes[index][1]))
+    gmap = jnp.asarray(comp.gains[index][:gh, :gw], jnp.float32)
+    h, w = img.shape[0], img.shape[1]
+    gmap = resize(gmap, (h, w))
+    if gmap.ndim == 2:
+        gmap = gmap[..., None]
+    return img * gmap

@@ -104,10 +104,21 @@ def l2_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
 
 
 def _two_nn(dist: jnp.ndarray, valid_b: jnp.ndarray):
-    """Per row: indices+distances of the 2 nearest valid columns."""
-    masked = jnp.where(valid_b[None, :], dist, jnp.float32(2 ** 30))
-    neg_top, idx = jax.lax.top_k(-masked, 2)
-    return idx[:, 0], -neg_top[:, 0], idx[:, 1], -neg_top[:, 1]
+    """Per row: indices+distances of the 2 nearest valid columns.
+
+    Two-pass min reductions instead of `lax.top_k` — top_k lowers to a
+    partial sort on TPU, which is the slow part of a vmapped K x K match;
+    min/argmin are plain row reductions that XLA fuses with the distance
+    matmul epilogue."""
+    big = jnp.float32(2 ** 30)
+    masked = jnp.where(valid_b[None, :], dist, big)
+    i1 = jnp.argmin(masked, axis=1).astype(jnp.int32)
+    d1 = jnp.min(masked, axis=1)
+    cols = jnp.arange(masked.shape[1], dtype=jnp.int32)
+    masked2 = jnp.where(cols[None, :] == i1[:, None], big, masked)
+    i2 = jnp.argmin(masked2, axis=1).astype(jnp.int32)
+    d2 = jnp.min(masked2, axis=1)
+    return i1, d1, i2, d2
 
 
 def _two_nn_hamming(desc_a, desc_b, valid_b):

@@ -42,6 +42,65 @@ def _normalizer(pts: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
                       [0.0, 0.0, 1.0]], dtype=pts.dtype)
 
 
+def _adjugate3(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form adjugate of (..., 3, 3): inv(M) up to the 1/det factor
+    (homographies are scale-free, so the det division can be skipped)."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    r0 = jnp.stack([e * i - f * h, c * h - b * i, b * f - c * e], -1)
+    r1 = jnp.stack([f * g - d * i, a * i - c * g, c * d - a * f], -1)
+    r2 = jnp.stack([d * h - e * g, b * g - a * h, a * e - b * d], -1)
+    return jnp.stack([r0, r1, r2], -2)
+
+
+def _quad_h(q: jnp.ndarray) -> jnp.ndarray:
+    """Projective map unit square -> quad, (..., 4, 2) -> (..., 3, 3).
+
+    Classic closed form (Heckbert): corners (0,0),(1,0),(1,1),(0,1) map to
+    q[0..3].  Pure elementwise arithmetic — no linear solve — so a 4-point
+    homography hypothesis costs a handful of VPU flops instead of a batched
+    8x8 LU (which dominated vmapped matching at ~75 ms/pair on v5e)."""
+    x0, y0 = q[..., 0, 0], q[..., 0, 1]
+    x1, y1 = q[..., 1, 0], q[..., 1, 1]
+    x2, y2 = q[..., 2, 0], q[..., 2, 1]
+    x3, y3 = q[..., 3, 0], q[..., 3, 1]
+    sx = x0 - x1 + x2 - x3
+    sy = y0 - y1 + y2 - y3
+    dx1, dy1 = x1 - x2, y1 - y2
+    dx2, dy2 = x3 - x2, y3 - y2
+    den = dx1 * dy2 - dy1 * dx2
+    den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+    g = (sx * dy2 - sy * dx2) / den
+    h = (dx1 * sy - dy1 * sx) / den
+    r0 = jnp.stack([x1 - x0 + g * x1, x3 - x0 + h * x3, x0], -1)
+    r1 = jnp.stack([y1 - y0 + g * y1, y3 - y0 + h * y3, y0], -1)
+    r2 = jnp.stack([g, h, jnp.ones_like(g)], -1)
+    return jnp.stack([r0, r1, r2], -2)
+
+
+def h4_closed_form(s4: jnp.ndarray, d4: jnp.ndarray) -> jnp.ndarray:
+    """4-point homography (..., 4, 2) x (..., 4, 2) -> (..., 3, 3), via
+    H = (unit-square -> dst quad) o (unit-square -> src quad)^-1."""
+    h = _quad_h(d4) @ _adjugate3(_quad_h(s4))
+    h22 = h[..., 2:3, 2:3]
+    return h / jnp.where(jnp.abs(h22) < 1e-12, 1e-12, h22)
+
+
+def _sample_valid(key: jnp.ndarray, valid: jnp.ndarray,
+                  shape: Tuple[int, ...]) -> jnp.ndarray:
+    """Uniform indices into the valid slots, cheaply.
+
+    `jax.random.categorical`/`choice` materialize a (draws, M) Gumbel/weight
+    tensor (~1 GB at b=64 pairs x 2k hypotheses); instead compact the valid
+    indices to the front once (one argsort) and draw uniform ints."""
+    order = jnp.argsort(jnp.logical_not(valid), stable=True)
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    u = jax.random.uniform(key, shape)
+    pick = jnp.minimum((u * n_valid).astype(jnp.int32), n_valid - 1)
+    return order[pick]
+
+
 def dlt_homography(src: jnp.ndarray, dst: jnp.ndarray,
                    w: jnp.ndarray) -> jnp.ndarray:
     """Weighted normalized DLT over N correspondences -> 3x3 H.
@@ -80,51 +139,26 @@ def ransac_homography(src: jnp.ndarray, dst: jnp.ndarray,
     Invalid slots never count as inliers and are never (effectively) sampled.
     """
     m = src.shape[0]
-    logits = jnp.where(valid, 0.0, -jnp.inf)
-    idx = jax.random.categorical(key, logits, shape=(n_hyp, 4))
+    idx = _sample_valid(key, valid, (n_hyp, 4))
 
     s4 = src[idx]                                          # (n_hyp, 4, 2)
     d4 = dst[idx]
-
-    # Minimal 4-point DLT per hypothesis: smallest eigenvector of the
-    # (9, 9) normal matrix A^T A — far cheaper on TPU than a batched SVD
-    # of (8, 9).
-    def build(s, d):
-        x, y = s[:, 0], s[:, 1]
-        u, v = d[:, 0], d[:, 1]
-        zero = jnp.zeros_like(x)
-        one = jnp.ones_like(x)
-        r1 = jnp.stack([-x, -y, -one, zero, zero, zero, u * x, u * y, u], -1)
-        r2 = jnp.stack([zero, zero, zero, -x, -y, -one, v * x, v * y, v], -1)
-        return jnp.concatenate([r1, r2], axis=0)
 
     # Condition: normalize by a global scale (cheap, fixed).
     scale = jnp.maximum(jnp.max(jnp.where(valid[:, None], jnp.abs(src), 0.0)),
                         1.0)
     t = jnp.array([[1.0 / scale, 0, 0], [0, 1.0 / scale, 0], [0, 0, 1.0]])
     tinv = jnp.array([[scale, 0, 0], [0, scale, 0], [0, 0, 1.0]])
-    a = jax.vmap(build)(s4 / scale, d4 / scale)            # (n_hyp, 8, 9)
-    # Minimal solve with h22 pinned to 1: an (8, 8) batched LU solve is an
-    # order of magnitude faster on TPU than eigh/SVD of the normal matrix.
-    # Hypotheses where h22 ~ 0 come out singular and lose the vote anyway.
-    a8 = a[:, :, :8]
-    b8 = -a[:, :, 8]
-    eye8 = 1e-9 * jnp.eye(8)
-    h8 = jnp.linalg.solve(
-        jnp.einsum("nri,nrj->nij", a8, a8) + eye8,
-        jnp.einsum("nri,nr->ni", a8, b8)[..., None])[..., 0]
-    h_n = jnp.concatenate([h8, jnp.ones((h8.shape[0], 1), h8.dtype)],
-                          axis=1).reshape(-1, 3, 3)
+    # Closed-form 4-point homography (unit-square route): pure elementwise
+    # arithmetic, no batched LU/SVD — the TPU-friendly hypothesis factory.
+    h_n = h4_closed_form(s4 / scale, d4 / scale)
     h_all = jnp.einsum("ij,njk,kl->nil", tinv, h_n, t)
 
     # Score hypotheses on a bounded subsample of the correspondences
     # (full M x n_hyp scoring is O(GBs) at 8k matches x 2k hypotheses);
     # the winner's mask is then recomputed on ALL correspondences below.
     m_score = min(m, 1024)
-    sub = jax.random.choice(jax.random.fold_in(key, 1),
-                            m, shape=(m_score,), replace=True,
-                            p=jnp.where(valid, 1.0, 0.0) /
-                            jnp.maximum(jnp.sum(valid), 1))
+    sub = _sample_valid(jax.random.fold_in(key, 1), valid, (m_score,))
     src_s = src[sub]
     dst_s = dst[sub]
     proj = apply_h(h_all, jnp.broadcast_to(src_s, (n_hyp, m_score, 2)))
@@ -138,12 +172,23 @@ def ransac_homography(src: jnp.ndarray, dst: jnp.ndarray,
     # Full inlier mask of the winning hypothesis.
     err2 = jnp.sum((apply_h(h_all[best], src) - dst) ** 2, axis=-1)
     mask0 = (err2 < thresh * thresh) & valid
-    # Refit on consensus, then recompute the final inlier set (OpenCV
-    # re-estimates H from inliers when enough support exists).
-    h_fit = dlt_homography(src, dst, mask0.astype(src.dtype))
+    # IRLS polish (the analogue of OpenCV's post-RANSAC LM refinement):
+    # hard-consensus refit is noisy with few matches — which quad RANSAC
+    # happened to draw decides which 3px-boundary mismatches join the
+    # consensus and bias the fit.  Cauchy-weighted refits converge to the
+    # same H regardless of the draw (weights fade the boundary cases).
+    sig2 = (0.5 * thresh) ** 2
+
+    def round_(h_cur, _):
+        e2 = jnp.sum((apply_h(h_cur, src) - dst) ** 2, axis=-1)
+        w = jnp.where(valid, 1.0 / (1.0 + e2 / sig2), 0.0)
+        return dlt_homography(src, dst, w.astype(src.dtype)), None
+
+    h_fit, _ = jax.lax.scan(round_, h_all[best], None, length=4)
     err2 = jnp.sum((apply_h(h_fit, src) - dst) ** 2, axis=-1)
     mask = (err2 < thresh * thresh) & valid
-    # Guard: if refit somehow lost the consensus, keep the minimal model.
+    # Guard: if the polish somehow lost the consensus, keep the minimal
+    # model (degenerate weight collapse).
     use_fit = jnp.sum(mask) >= jnp.sum(mask0)
     h_best = jnp.where(use_fit, h_fit, h_all[best])
     mask = jnp.where(use_fit, mask, mask0)
@@ -157,8 +202,7 @@ def ransac_affine_partial(src: jnp.ndarray, dst: jnp.ndarray,
     """RANSAC similarity (rotation+scale+translation) like
     cv::estimateAffinePartial2D — the AffineBestOf2NearestMatcher core.
     Returns (H 3x3 with affine rows, inlier_mask, n_inliers)."""
-    logits = jnp.where(valid, 0.0, -jnp.inf)
-    idx = jax.random.categorical(key, logits, shape=(n_hyp, 2))
+    idx = _sample_valid(key, valid, (n_hyp, 2))
     s2 = src[idx]
     d2 = dst[idx]
 

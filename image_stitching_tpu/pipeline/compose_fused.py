@@ -108,7 +108,7 @@ def _warp_stack(images, ks, rs, scale, tls, *, proj_name: str, pad_h: int,
 
 
 def _warp_gain_seam(img, k, r, uu, vv, scale, smask, stl, seam_ratio,
-                    gain, gain_tl, gain_cell, *, proj_bwd, gain_mode):
+                    gain, gain_grid, gain_roi, *, proj_bwd, gain_mode):
     """Per-image compose sample at warped-canvas coords (uu, vv).
 
     Backward warp (bilinear/BORDER_REFLECT) + warp-validity mask + exposure
@@ -153,11 +153,16 @@ def _warp_gain_seam(img, k, r, uu, vv, scale, smask, stl, seam_ratio,
     elif gain_mode == "channels":
         warped = warped * gain[None, None, :]
     elif gain_mode == "blocks":
-        gx_ = (uu * seam_ratio - gain_tl[0]) / gain_cell - 0.5
-        gy_ = (vv * seam_ratio - gain_tl[1]) / gain_cell - 0.5
-        gh, gw = gain.shape[0], gain.shape[1]
-        gx_ = jnp.clip(gx_, 0.0, gw - 1.0)
-        gy_ = jnp.clip(gy_, 0.0, gh - 1.0)
+        # Per-image gain map stretched over the image's compose-scale ROI
+        # with cv2::resize INTER_LINEAR semantics (BlocksCompensator::
+        # apply): grid coords (p_local + 0.5) * grid / roi_size - 0.5,
+        # edge-clamped.  gain_grid = (gh_i, gw_i) of image i's own grid
+        # inside the padded map; gain_roi = (x, y, w, h) of its ROI.
+        gh_i, gw_i = gain_grid[0], gain_grid[1]
+        gx_ = jnp.clip((uu - gain_roi[0] + 0.5) * gw_i / gain_roi[2] - 0.5,
+                       0.0, gw_i - 1.0)
+        gy_ = jnp.clip((vv - gain_roi[1] + 0.5) * gh_i / gain_roi[3] - 0.5,
+                       0.0, gh_i - 1.0)
         gval = _bilinear_sample(gain, gx_, gy_)
         if gain.ndim == 2:
             gval = gval[..., None]
@@ -178,7 +183,7 @@ def _warp_gain_seam(img, k, r, uu, vv, scale, smask, stl, seam_ratio,
                      "n_bands", "seam_pad_h", "seam_pad_w", "gain_mode"))
 def _fused_compose_impl(images, ks, rs, scale, tls, canvas_tl,
                         seam_masks, seam_tls, seam_ratio,
-                        gains, gain_tl, gain_cell, *,
+                        gains, gain_grids, gain_rois, *,
                         proj_name: str, pad_h: int, pad_w: int,
                         canvas_h: int, canvas_w: int, n_bands: int,
                         seam_pad_h: int, seam_pad_w: int, gain_mode: str):
@@ -190,9 +195,9 @@ def _fused_compose_impl(images, ks, rs, scale, tls, canvas_tl,
     seam_tls: (N, 2) seam-scale ROI corners; seam_ratio: scalar
     (seam_warp_scale / compose_warp_scale);
     gains: per gain_mode — "none": (N,), "scalar": (N,), "channels":
-    (N, 3), "blocks": (N, Gy, Gx) or (N, Gy, Gx, 3); gain_tl: (2,) gain
-    canvas origin in seam-scale warped coords; gain_cell: scalar block
-    size in seam-canvas pixels.
+    (N, 3), "blocks": (N, Gy_max, Gx_max[, 3]) padded per-image maps;
+    gain_grids: (N, 2) float (gh_i, gw_i) actual grid per image;
+    gain_rois: (N, 4) float compose-scale ROI (x, y, w, h) per image.
     """
     proj_bwd = PROJECTIONS[proj_name][1]
     n, hc, wc = images.shape[0], images.shape[1], images.shape[2]
@@ -204,13 +209,13 @@ def _fused_compose_impl(images, ks, rs, scale, tls, canvas_tl,
 
     def body(carry, inp):
         accs, waccs = carry
-        img, k, r, tl, smask, stl, gain = inp
+        img, k, r, tl, smask, stl, gain, ggrid, groi = inp
         us = tl[0] + jnp.arange(pad_w, dtype=jnp.float32)
         vs = tl[1] + jnp.arange(pad_h, dtype=jnp.float32)
         uu, vv = jnp.meshgrid(us, vs)
         warped, weight = _warp_gain_seam(
             img, k, r, uu, vv, scale, smask, stl, seam_ratio,
-            gain, gain_tl, gain_cell, proj_bwd=proj_bwd,
+            gain, ggrid, groi, proj_bwd=proj_bwd,
             gain_mode=gain_mode)
 
         # Multi-band accumulate at band-aligned offsets.
@@ -239,13 +244,10 @@ def _fused_compose_impl(images, ks, rs, scale, tls, canvas_tl,
                 waccs[b], curw + wg[b], (ob[1], ob[0])))
         return (new_accs, new_waccs), 0
 
-    if gains.ndim == 1:
-        gain_stack = gains
-    else:
-        gain_stack = gains
     (accs, waccs), _ = jax.lax.scan(
         body, (accs, waccs),
-        (images, ks, rs, tls, seam_masks, seam_tls, gain_stack))
+        (images, ks, rs, tls, seam_masks, seam_tls, gains, gain_grids,
+         gain_rois))
 
     bands = [accs[b] / (waccs[b][..., None] + WEIGHT_EPS)
              for b in range(n_bands + 1)]
@@ -257,20 +259,25 @@ def _fused_compose_impl(images, ks, rs, scale, tls, canvas_tl,
     return out_u8, waccs[0] > WEIGHT_EPS
 
 
-def _prep_gains(compensator, n: int):
-    """Exposure-compensator state -> (gain_mode, gains, gain_tl, gain_cell)
-    ready for the fused/sharded compose programs."""
+def _prep_gains(compensator, n: int, comp_corners, comp_sizes):
+    """Exposure-compensator state -> (gain_mode, gains, gain_grids,
+    gain_rois) ready for the fused/sharded compose programs.  gain_rois
+    are the compose-scale warped ROIs the per-image block maps stretch
+    over (cv2 BlocksCompensator::apply resizes to the apply-time image)."""
+    rois = np.asarray([[c[0], c[1], s[0], s[1]]
+                       for c, s in zip(comp_corners, comp_sizes)],
+                      np.float32)
+    ones = np.ones((n, 2), np.float32)
     if compensator is None or compensator.comp_type == ECType.NO:
-        return "none", np.ones((n,), np.float32), np.zeros(2, np.float32), 1.0
+        return "none", np.ones((n,), np.float32), ones, rois
     if compensator.comp_type == ECType.GAIN:
         return ("scalar", np.asarray(compensator.gains, np.float32),
-                np.zeros(2, np.float32), 1.0)
+                ones, rois)
     if compensator.comp_type == ECType.CHANNELS:
         return ("channels", np.asarray(compensator.gains, np.float32),
-                np.zeros(2, np.float32), 1.0)
+                ones, rois)
     return ("blocks", np.asarray(compensator.gains, np.float32),
-            np.asarray(compensator.canvas_roi[:2], np.float32),
-            float(compensator.block_size))
+            np.asarray(compensator.grid_sizes, np.float32), rois)
 
 
 def _prep_seam_masks(seam_masks, n: int):
@@ -329,7 +336,8 @@ def fused_compose(images: jnp.ndarray, ks: np.ndarray, rs: np.ndarray,
 
     smask_d, sh_pad, sw_pad = _prep_seam_masks(seam_masks, n)
 
-    gain_mode, gains, gain_tl, gain_cell = _prep_gains(compensator, n)
+    gain_mode, gains, gain_grids, gain_rois = _prep_gains(
+        compensator, n, comp_corners, comp_sizes)
 
     pano, mask = _fused_compose_impl(
         jnp.asarray(images, jnp.float32),
@@ -341,7 +349,7 @@ def fused_compose(images: jnp.ndarray, ks: np.ndarray, rs: np.ndarray,
         jnp.asarray(np.asarray(seam_corners, np.float32)),
         jnp.float32(seam_ratio),
         jnp.asarray(gains),
-        jnp.asarray(gain_tl), jnp.float32(gain_cell),
+        jnp.asarray(gain_grids), jnp.asarray(gain_rois),
         proj_name=warper.proj_name, pad_h=int(pad_h), pad_w=int(pad_w),
         canvas_h=int(canvas_h), canvas_w=int(canvas_w),
         n_bands=int(n_bands), seam_pad_h=int(sh_pad),
@@ -380,7 +388,7 @@ def _sharded_compose_fn(mesh, axis: str, proj_name: str, canvas_h: int,
     assert canvas_h % (1 << n_bands) == 0
 
     def local_fn(images, ks, rs, scale, canvas_tl, smasks, stls,
-                 seam_ratio, gains, gain_tl, gain_cell):
+                 seam_ratio, gains, gain_grids, gain_rois):
         sidx = jax.lax.axis_index(axis)
         x0 = canvas_tl[0] + (sidx * w_local - margin).astype(jnp.float32)
         us = x0 + jnp.arange(w_ext, dtype=jnp.float32)
@@ -389,10 +397,10 @@ def _sharded_compose_fn(mesh, axis: str, proj_name: str, canvas_h: int,
 
         def body(carry, inp):
             accs, waccs = carry
-            img, k, r, smask, stl, gain = inp
+            img, k, r, smask, stl, gain, ggrid, groi = inp
             warped, weight = _warp_gain_seam(
                 img, k, r, uu, vv, scale, smask, stl, seam_ratio,
-                gain, gain_tl, gain_cell, proj_bwd=proj_bwd,
+                gain, ggrid, groi, proj_bwd=proj_bwd,
                 gain_mode=gain_mode)
             gauss = [warped]
             wg = [weight]
@@ -419,7 +427,8 @@ def _sharded_compose_fn(mesh, axis: str, proj_name: str, canvas_h: int,
             (canvas_h >> b, w_ext >> b), jnp.float32), axis)
             for b in range(n_bands + 1)]
         (accs, waccs), _ = jax.lax.scan(
-            body, (accs, waccs), (images, ks, rs, smasks, stls, gains))
+            body, (accs, waccs),
+            (images, ks, rs, smasks, stls, gains, gain_grids, gain_rois))
 
         bands = [accs[b] / (waccs[b][..., None] + WEIGHT_EPS)
                  for b in range(n_bands + 1)]
@@ -467,7 +476,8 @@ def fused_compose_sharded(mesh, images: jnp.ndarray, ks: np.ndarray,
     canvas_h = -(-ch // step) * step
 
     smask_d, _, _ = _prep_seam_masks(seam_masks, n)
-    gain_mode, gains, gain_tl, gain_cell = _prep_gains(compensator, n)
+    gain_mode, gains, gain_grids, gain_rois = _prep_gains(
+        compensator, n, comp_corners, comp_sizes)
 
     fn = _sharded_compose_fn(mesh, axis, warper.proj_name,
                              int(canvas_h), int(canvas_w), int(n_bands),
@@ -480,7 +490,8 @@ def fused_compose_sharded(mesh, images: jnp.ndarray, ks: np.ndarray,
         smask_d,
         jnp.asarray(np.asarray(seam_corners, np.float32)),
         jnp.float32(seam_ratio),
-        jnp.asarray(gains), jnp.asarray(gain_tl), jnp.float32(gain_cell))
+        jnp.asarray(gains), jnp.asarray(gain_grids),
+        jnp.asarray(gain_rois))
     pano = np.asarray(pano)[:ch, :cw].astype(np.float32)
     mask = np.asarray(mask)[:ch, :cw]
     return pano, mask

@@ -258,13 +258,39 @@ def test_gain_and_channels_match_opencv(rng):
         exposure_mod.feed(corners, fl, [m, m], ECT.CHANNELS).gains)
     np.testing.assert_allclose(got, want, atol=2e-4)
 
-    # Blocks modes use a canvas-anchored decoupled grid (documented delta
-    # vs cv2's per-image grids): applied output agrees to a few percent.
-    c = cv2.detail.BlocksGainCompensator(32, 32, 1)
-    c.feed(corners, [cv2.UMat(u1), cv2.UMat(u2)], [mu, mu])
-    out_cv = np.asarray(c.apply(0, corners[0], cv2.UMat(u1), mu).get())
-    comp = exposure_mod.feed(corners, fl, [m, m], ECT.GAIN_BLOCKS,
-                             block_size=32)
-    out_my = np.asarray(exposure_mod.apply_gain(comp, 0, corners[0], fl[0]))
-    mad = np.abs(out_cv.astype(np.float32) - out_my).mean()
-    assert mad < 6.0, mad
+def test_blocks_exposure_matches_opencv_exactly(rng):
+    """*_BLOCKS applied output == cv2.detail.Blocks*Compensator: per-image
+    block grids, blocks-as-images global LS system, sepFilter2D x2
+    REFLECT_101 smoothing, resize-stretch apply (`image_stitching.cpp:
+    73-76, :1002-1023` configure exactly this machinery)."""
+    h, w = 100, 140
+    img1 = rng.uniform(20, 230, (h, w, 3)).astype(np.float32)
+    img2 = np.clip(img1 * 0.75 + 10, 0, 255).astype(np.float32)
+    u1, u2 = img1.astype(np.uint8), img2.astype(np.uint8)
+    fl = [u1.astype(np.float32), u2.astype(np.float32)]
+    corners = [(0, 0), (60, 13)]
+    # Irregular masks exercise the countNonZero >= 1 floor for block pairs
+    # whose rects intersect outside the valid region.
+    m1 = np.full((h, w), 255, np.uint8)
+    m1[:15, :25] = 0
+    m2 = np.full((h, w), 255, np.uint8)
+    m2[-20:, -30:] = 0
+    mu1, mu2 = cv2.UMat(m1), cv2.UMat(m2)
+
+    cases = [(cv2.detail.BlocksGainCompensator(32, 32, 1),
+              ECT.GAIN_BLOCKS),
+             (cv2.detail.BlocksChannelsCompensator(32, 32, 1),
+              ECT.CHANNELS_BLOCKS)]
+    for cvc, ect in cases:
+        cvc.setNrGainsFilteringIterations(2)
+        cvc.feed(corners, [cv2.UMat(u1), cv2.UMat(u2)], [mu1, mu2])
+        comp = exposure_mod.feed(corners, fl, [m1, m2], ect,
+                                 block_size=32, nr_filtering=2)
+        for idx, (u, mu) in enumerate([(u1, mu1), (u2, mu2)]):
+            out_cv = np.asarray(
+                cvc.apply(idx, corners[idx], cv2.UMat(u), mu).get())
+            out_my = np.clip(np.round(np.asarray(
+                exposure_mod.apply_gain(comp, idx, corners[idx],
+                                        fl[idx]))), 0, 255)
+            mad = np.abs(out_cv.astype(np.float32) - out_my).mean()
+            assert mad < 0.01, (ect, idx, mad)
