@@ -182,11 +182,12 @@ class FeatherBlender:
         self.wacc = jnp.zeros((h, w), jnp.float32)
 
     def feed(self, img, mask, corner):
-        from .seams import _distance_sq
+        from .seams import edt_sq
         img = jnp.asarray(img, jnp.float32)
         m = (jnp.asarray(mask) > 0)
-        # Distance to the nearest invalid pixel (inside counts up).
-        dist = jnp.sqrt(_distance_sq(m.astype(jnp.float32)))
+        # Distance to the nearest invalid pixel (inside counts up);
+        # exact native O(HW) EDT when the host runtime is available.
+        dist = jnp.sqrt(jnp.asarray(edt_sq(np.asarray(mask))))
         weight = jnp.clip(dist * self.sharpness, 0.0, 1.0) * m
         x, y = corner[0] - self.roi[0], corner[1] - self.roi[1]
         h, w = img.shape[:2]

@@ -7,23 +7,27 @@ and masks, updates the masks so overlaps are partitioned along low-cost
 seams.
 
 TPU-native formulations:
-  * DP seam: for each overlapping pair, the classic seam-carving dynamic
-    program — cumulative min-cost over rows as one `jax.lax.scan` — over the
-    overlap bounding box, on a per-pixel cost of |I1 - I2| (COLOR) or
-    |I1 - I2| + |grad1 - grad2| (COLOR_GRAD).  The seam column per row
-    splits the overlap between the two images.  The scan axis is chosen
-    (rows/cols) from the overlap's aspect so seams run across the thin
-    dimension.
-  * VORONOI: nearest-image-center partition via distance transforms
-    (two-pass separable squared-EDT, vectorized in jnp).
+  * DP seam: cv::detail::DpSeamFinder processes each CONNECTED COMPONENT
+    of a pair's overlap separately (`image_stitching.cpp:1032-1065`
+    behavior; non-convex / multi-blob overlaps are common where three
+    rig rings cross).  Here: components are labelled on the host (tiny
+    int bookkeeping), each component crop is canonicalized (transposed so
+    the seam always runs down rows, ownership sides from the centroids of
+    the two images' EXCLUSIVE regions around the component — the
+    source/sink sides), padded into power-of-two buckets, and ALL
+    components across ALL pairs run as a handful of vmapped `lax.scan`
+    dynamic programs (one dispatch per bucket instead of one per pair).
+    The partitions are then applied sequentially in OpenCV's pair order
+    against the evolving masks, which keeps triple overlaps hole-free.
+    Per-pixel cost is |I1 - I2| (COLOR) or + |grad1 - grad2| (COLOR_GRAD).
+  * VORONOI: nearest-image-center partition via exact squared EDTs — the
+    native O(HW) Felzenszwalb transform (`native/stitch_runtime.cpp`)
+    when the host runtime is loaded, a vectorized jnp O(n^2)-per-line
+    fallback otherwise.
   * GC_COLOR(+GRAD): pairwise min-cut with the same data structure as the
     DP variant but solved exactly via scipy's max-flow on the overlap grid
     (host-side; the overlap at seam scale is small).  This mirrors OpenCV's
     GraphCutSeamFinder being a CPU-only component in the reference too.
-
-Pairs are processed in the reference's order (i < j), each pair updating
-the running masks, which matches the sequential pair processing of
-DpSeamFinder::process.
 """
 
 from __future__ import annotations
@@ -35,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["find_seams"]
+__all__ = ["find_seams", "edt_sq"]
 
 
 # ---------------------------------------------------------------- helpers --
@@ -134,6 +138,21 @@ def _distance_sq(mask: jnp.ndarray) -> jnp.ndarray:
     return d
 
 
+def edt_sq(mask: np.ndarray) -> np.ndarray:
+    """Exact squared EDT to the nearest zero pixel of `mask` (host entry).
+
+    Uses the native O(HW) Felzenszwalb transform when the C++ runtime is
+    available; falls back to the vectorized jnp transform (exact but
+    O(n^2) per line) so CPU test environments need no native build."""
+    from ..core import native
+    if native.available():
+        out = native.edt_sq(np.asarray(mask))
+        if out is not None:
+            return out
+    return np.asarray(_distance_sq(jnp.asarray(
+        (np.asarray(mask) > 0).astype(np.float32))))
+
+
 # ------------------------------------------------------------- graphcut ----
 def _graph_cut_pair(cost: np.ndarray, must1: np.ndarray, must2: np.ndarray,
                     valid: np.ndarray) -> np.ndarray:
@@ -189,6 +208,166 @@ def _graph_cut_pair(cost: np.ndarray, must1: np.ndarray, must2: np.ndarray,
     return keep1[:n].reshape(h, w)
 
 
+# -------------------------------------------------- per-component DP ----
+@functools.partial(jax.jit, static_argnames=("grad",))
+def _dp_seam_batch(i1, i2, valid, prefer1, hw, grad: bool = False):
+    """Vmapped `_dp_seam` over a bucket of canonicalized component crops.
+
+    i1, i2: (T, H, W, 3); valid: (T, H, W); prefer1: (T,); hw: (T, 2) the
+    REAL (h, w) of each crop inside the padded bucket.  Padded columns in
+    real rows get a high wall cost so the seam cannot escape the crop into
+    the zero-cost padding; fully-padded rows stay free (they add the same
+    constant to every column).  Returns (T, H, W) keep1."""
+    t, bh, bw = valid.shape
+
+    def one(a, b, v, p, real_hw):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
+        real_row = rows < real_hw[0]
+        real_col = cols < real_hw[1]
+        wall = real_row & ~real_col
+        # Encode the wall by making padded columns maximally different:
+        # _dp_seam builds its cost from |a - b| under the valid mask, so
+        # bake the wall into a dedicated cost via image contrast.
+        pad_a = jnp.where(wall[..., None], 1e4, a)
+        pad_b = jnp.where(wall[..., None], -1e4, b)
+        return _dp_seam(pad_a, pad_b, v | wall, p, grad)
+
+    return jax.vmap(one)(i1, i2, valid, prefer1, hw)
+
+
+def _bucket_dim(x: int, lo: int = 16) -> int:
+    b = lo
+    while b < x:
+        b <<= 1
+    return b
+
+
+def _run_dp_tasks(tasks, grad: bool):
+    """Execute all component-seam DPs in a handful of device dispatches.
+
+    Tasks are padded into power-of-two (H, W, T) buckets so the jit cache
+    stays bounded; each bucket is ONE vmapped program (at 37 rig images
+    the old per-pair path was 666 sequential dispatch+sync round trips)."""
+    out = [None] * len(tasks)
+    groups = {}
+    for idx, t in enumerate(tasks):
+        h, w = t["vc"].shape
+        groups.setdefault((_bucket_dim(h), _bucket_dim(w)), []).append(idx)
+    for (bh, bw), idxs in groups.items():
+        t_pad = 1
+        while t_pad < len(idxs):
+            t_pad <<= 1
+        i1 = np.zeros((t_pad, bh, bw, 3), np.float32)
+        i2 = np.zeros_like(i1)
+        vv = np.zeros((t_pad, bh, bw), bool)
+        pl = np.zeros((t_pad,), bool)
+        hw = np.ones((t_pad, 2), np.int32)
+        for slot, idx in enumerate(idxs):
+            t = tasks[idx]
+            h, w = t["vc"].shape
+            i1[slot, :h, :w] = t["c1"]
+            i2[slot, :h, :w] = t["c2"]
+            vv[slot, :h, :w] = t["vc"]
+            pl[slot] = t["prefer1"]
+            hw[slot] = (h, w)
+        keep = np.asarray(_dp_seam_batch(
+            jnp.asarray(i1), jnp.asarray(i2), jnp.asarray(vv),
+            jnp.asarray(pl), jnp.asarray(hw), grad))
+        for slot, idx in enumerate(idxs):
+            h, w = tasks[idx]["vc"].shape
+            out[idx] = keep[slot, :h, :w]
+    return out
+
+
+def _find_seams_dp(images, corners, masks, sizes, grad: bool):
+    """DpSeamFinder parity core: label each pair-overlap's connected
+    components, seam every component separately with source/sink sides
+    from the exclusive-region centroids, apply partitions sequentially
+    in pair order (`image_stitching.cpp:1032-1065` machinery)."""
+    import scipy.ndimage as ndi
+
+    n = len(images)
+    masks0 = [m.copy() for m in masks]
+    tasks = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            box = _overlap_box(corners[i], sizes[i], corners[j], sizes[j])
+            if box[2] <= 0 or box[3] <= 0:
+                continue
+            m1 = _crop(masks0[i], corners[i], box) > 0
+            m2 = _crop(masks0[j], corners[j], box) > 0
+            ov = m1 & m2
+            if not ov.any():
+                continue
+            im1 = _crop(np.asarray(images[i], np.float32), corners[i], box)
+            im2 = _crop(np.asarray(images[j], np.float32), corners[j], box)
+            excl1 = m1 & ~m2
+            excl2 = m2 & ~m1
+            lab, n_comp = ndi.label(ov)
+            for c, sl in enumerate(ndi.find_objects(lab, n_comp), start=1):
+                if sl is None:
+                    continue
+                comp = lab[sl] == c
+                y0, y1 = sl[0].start, sl[0].stop
+                x0, x1 = sl[1].start, sl[1].stop
+                bh, bw = y1 - y0, x1 - x0
+                # Source/sink sides: centroids of each image's exclusive
+                # region in a window around the component; fall back to
+                # the warped-ROI centers when an exclusive side is empty.
+                wy0 = max(0, y0 - max(8, bh // 2))
+                wy1 = min(box[3], y1 + max(8, bh // 2))
+                wx0 = max(0, x0 - max(8, bw // 2))
+                wx1 = min(box[2], x1 + max(8, bw // 2))
+
+                def _centroid(excl, fallback):
+                    e = excl[wy0:wy1, wx0:wx1]
+                    if e.any():
+                        ys, xs = np.nonzero(e)
+                        return float(xs.mean() + wx0), float(ys.mean() + wy0)
+                    return fallback
+                fb1 = (corners[i][0] + sizes[i][0] * 0.5 - box[0],
+                       corners[i][1] + sizes[i][1] * 0.5 - box[1])
+                fb2 = (corners[j][0] + sizes[j][0] * 0.5 - box[0],
+                       corners[j][1] + sizes[j][1] * 0.5 - box[1])
+                cx1, cy1 = _centroid(excl1, fb1)
+                cx2, cy2 = _centroid(excl2, fb2)
+                horiz = abs(cx1 - cx2) * bh >= abs(cy1 - cy2) * bw
+                c1, c2, vc = im1[sl], im2[sl], comp
+                if horiz:
+                    prefer1 = cx1 <= cx2
+                else:
+                    c1 = c1.transpose(1, 0, 2)
+                    c2 = c2.transpose(1, 0, 2)
+                    vc = comp.T
+                    prefer1 = cy1 <= cy2
+                tasks.append(dict(i=i, j=j, box=box, sl=sl, comp=comp,
+                                  horiz=horiz, prefer1=prefer1,
+                                  c1=c1, c2=c2, vc=vc))
+
+    keep1_all = _run_dp_tasks(tasks, grad)
+
+    # Sequential application in pair order against the EVOLVING masks:
+    # a pixel already surrendered to an earlier pair is out of play, so
+    # triple overlaps stay hole-free like OpenCV's sequential process().
+    for t, keep1 in zip(tasks, keep1_all):
+        if not t["horiz"]:
+            keep1 = keep1.T
+        i, j, (x, y, w, h), sl, comp = t["i"], t["j"], t["box"], t["sl"], \
+            t["comp"]
+        oyi = y - corners[i][1] + sl[0].start
+        oxi = x - corners[i][0] + sl[1].start
+        oyj = y - corners[j][1] + sl[0].start
+        oxj = x - corners[j][0] + sl[1].start
+        ch, cw = comp.shape
+        sub_i = masks[i][oyi:oyi + ch, oxi:oxi + cw]
+        sub_j = masks[j][oyj:oyj + ch, oxj:oxj + cw]
+        ov_now = (sub_i > 0) & (sub_j > 0) & comp
+        sub_i[ov_now & ~keep1] = 0
+        sub_j[ov_now & keep1] = 0
+    return masks
+
+
 # ---------------------------------------------------------------- driver ----
 def find_seams(images: Sequence[np.ndarray], corners: Sequence[Tuple[int, int]],
                masks: Sequence[np.ndarray],
@@ -208,6 +387,9 @@ def find_seams(images: Sequence[np.ndarray], corners: Sequence[Tuple[int, int]],
     sizes = [(img.shape[1], img.shape[0]) for img in images]
     grad = seam_type.endswith("colorgrad")
 
+    if seam_type.startswith("dp"):
+        return _find_seams_dp(images, corners, masks, sizes, grad)
+
     for i in range(n):
         for j in range(i + 1, n):
             box = _overlap_box(corners[i], sizes[i], corners[j], sizes[j])
@@ -219,38 +401,19 @@ def find_seams(images: Sequence[np.ndarray], corners: Sequence[Tuple[int, int]],
             if not ov.any():
                 continue
             if seam_type == "voronoi":
-                # Distance to each image's exclusive region.
-                d1 = np.asarray(_distance_sq(jnp.asarray(~(m1 & ~m2))))
-                d2 = np.asarray(_distance_sq(jnp.asarray(~(m2 & ~m1))))
+                # Distance to each image's exclusive region (native O(HW)
+                # EDT when available).
+                d1 = edt_sq(~(m1 & ~m2))
+                d2 = edt_sq(~(m2 & ~m1))
                 keep1 = d1 <= d2
-            else:
+            else:  # graph cut
                 im1 = _crop(np.asarray(images[i], np.float32), corners[i],
                             box)
                 im2 = _crop(np.asarray(images[j], np.float32), corners[j],
                             box)
-                if seam_type.startswith("dp"):
-                    # Choose scan orientation across the thin dimension and
-                    # which side each image owns from the center offsets.
-                    ci = corners[i][0] + sizes[i][0] * 0.5
-                    cj = corners[j][0] + sizes[j][0] * 0.5
-                    ri = corners[i][1] + sizes[i][1] * 0.5
-                    rj = corners[j][1] + sizes[j][1] * 0.5
-                    horiz_pair = abs(ci - cj) * box[3] >= abs(ri - rj) * box[2]
-                    if horiz_pair:
-                        keep1 = np.asarray(_dp_seam(
-                            jnp.asarray(im1), jnp.asarray(im2),
-                            jnp.asarray(ov), jnp.asarray(ci <= cj),
-                            grad))
-                    else:
-                        keep1 = np.asarray(_dp_seam(
-                            jnp.asarray(im1.transpose(1, 0, 2)),
-                            jnp.asarray(im2.transpose(1, 0, 2)),
-                            jnp.asarray(ov.T), jnp.asarray(ri <= rj),
-                            grad)).T
-                else:  # graph cut
-                    cost = np.asarray(_dp_seam_cost(
-                        jnp.asarray(im1), jnp.asarray(im2), grad=grad))
-                    keep1 = _graph_cut_pair(cost, m1 & ~m2, m2 & ~m1, ov)
+                cost = np.asarray(_dp_seam_cost(
+                    jnp.asarray(im1), jnp.asarray(im2), grad=grad))
+                keep1 = _graph_cut_pair(cost, m1 & ~m2, m2 & ~m1, ov)
             # Partition the overlap.
             x, y, w, h = box
             oxi, oyi = x - corners[i][0], y - corners[i][1]

@@ -98,6 +98,42 @@ def test_exposure_no():
 
 
 # ----------------------------------------------------------------- seams ----
+def test_dp_seam_per_overlap_component():
+    """cv::detail::DpSeamFinder processes each connected component of an
+    overlap separately (`image_stitching.cpp:1032-1065`): with a 2-blob
+    overlap and V-shaped per-column cost whose minimum differs per blob,
+    each blob must get its OWN seam (a single bbox-level seam cannot land
+    on both targets), and ownership must agree with the cv2 oracle."""
+    h, w = 96, 128
+    corners = [(0, 0), (48, 0)]        # overlap: global x in [48, 128)
+    img1 = np.zeros((h, w, 3), np.float32) + 100
+    img2 = np.zeros((h, w, 3), np.float32) + 100
+    for yr, tgt in [(slice(0, 40), 20), (slice(56, 96), 58)]:
+        for xl in range(80):
+            img2[yr, xl, :] = 100 + 2.0 * abs(xl - tgt)
+    m1 = np.full((h, w), 255, np.uint8)
+    m2 = np.full((h, w), 255, np.uint8)
+    m2[40:56, :80] = 0                 # split the overlap into two blobs
+    out = seams_mod.find_seams([img1, img2], corners,
+                               [m1.copy(), m2.copy()], "dp_color")
+    o1 = out[0][:, 48:] > 0
+    o2 = out[1][:, :80] > 0
+    ov = (m1[:, 48:] > 0) & (m2[:, :80] > 0)
+    assert not (o1 & o2 & ov).any()
+    assert ((o1 | o2) | ~ov).all()
+    for rows, tgt in [(slice(0, 40), 20), (slice(56, 96), 58)]:
+        own1 = o1[rows]
+        cols = [np.max(np.nonzero(r)[0]) for r in own1 if r.any()]
+        assert abs(np.median(cols) - tgt) <= 2, (tgt, np.median(cols))
+    # Ownership agreement with cv2's DpSeamFinder on the same input.
+    sf = cv2.detail_DpSeamFinder("COLOR")
+    res = sf.find([cv2.UMat(img1), cv2.UMat(img2)], corners,
+                  [cv2.UMat(m1.copy()), cv2.UMat(m2.copy())])
+    a1 = np.asarray(res[0].get())[:, 48:] > 0
+    agree = ((o1 == a1) & ov).sum() / ov.sum()
+    assert agree > 0.8, agree
+
+
 def _two_overlapping(rng, dx=24):
     img1 = rng.uniform(0, 255, (48, 64, 3)).astype(np.float32)
     img2 = img1.copy()
