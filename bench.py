@@ -10,7 +10,13 @@ default mode is measured against the driver-set north star of
 Modes (BENCH_MODE env; diagnostics go to stderr, the JSON line to stdout):
   e2e (default)  full pipeline on a cached 8 x 8MP synthetic ring
                  (BASELINE config 3 scale); also reports p50 latency per
-                 image pair on stderr
+                 image pair on stderr and mean pairwise reprojection
+                 error vs the synthetic ground truth (north star is dual:
+                 >=30 MP/s AND <=1px)
+  vga_pair       BASELINE config 1: 2-image VGA pair, ORB + RANSAC
+                 homography + feather blend; p50 end-to-end latency
+  cyl4           BASELINE config 2: 4-image 1080p horizontal panorama,
+                 cylindrical projection; MP/s + reprojection error
   pairs          batched pair-registration throughput: 64 concurrent VGA
                  pairs, detect+match+RANSAC (BASELINE config 4)
   gigapixel      canvas-sharded multiband compositing throughput over a
@@ -30,6 +36,33 @@ import numpy as np
 NORTH_STAR = 30.0  # MP/s/chip (BASELINE.json)
 
 
+def _reproj_err_px(cameras, kept, k_true, rs_true, hw) -> float:
+    """Mean pairwise reprojection error (px) vs synthetic ground truth.
+
+    For each adjacent kept pair (a, b): the estimated inter-image map
+    H = K_b R_b R_a^T K_a^{-1} vs the ground-truth one, evaluated on a
+    pixel grid — gauge-invariant (wave-correct/BA global rotations cancel
+    in relative maps), so no alignment step is needed."""
+    kc = np.asarray(cameras.K(), np.float64)
+    rc = np.asarray(cameras.R, np.float64)
+    h, w = hw
+    gy, gx = np.meshgrid(np.linspace(0, h - 1, 8), np.linspace(0, w - 1, 8))
+    pts = np.stack([gx.ravel(), gy.ravel(), np.ones(gx.size)], axis=0)
+
+    def proj(hmat):
+        q = hmat @ pts
+        return q[:2] / np.where(np.abs(q[2:]) < 1e-12, 1e-12, q[2:])
+
+    errs = []
+    for a in range(len(kept) - 1):
+        b = a + 1
+        h_est = kc[b] @ rc[b].T @ rc[a] @ np.linalg.inv(kc[a])
+        ia, ib = kept[a], kept[b]
+        h_gt = k_true @ rs_true[ib].T @ rs_true[ia] @ np.linalg.inv(k_true)
+        errs.append(np.linalg.norm(proj(h_est) - proj(h_gt), axis=0).mean())
+    return float(np.mean(errs)) if errs else float("nan")
+
+
 def _bench_e2e():
     from image_stitching_tpu.config import StitchConfig
     from image_stitching_tpu.data.synth import (make_ring_captures,
@@ -47,11 +80,13 @@ def _bench_e2e():
     # the same images would under-report device time.
     for seed in (7, 8):
         d = os.path.join(cache_root, f"caps_{n_images}x{h}x{w}_s{seed}")
-        if not os.path.isdir(d) or len(os.listdir(d)) != n_images:
+        gt = os.path.join(d, "gt.npz")
+        if not os.path.isdir(d) or not os.path.exists(gt):
             images, k, rs = make_ring_captures(
                 n_images=n_images, hw=(h, w), fov_deg=55,
                 overlap_ratio=0.5, seed=seed)
             write_capture_dir(d, images, k, rs)
+            np.savez(gt, k=k, rs=np.stack(rs))
         dirs[seed] = d
     run_dir = tempfile.mkdtemp(prefix="bench_run_")
     os.chdir(run_dir)
@@ -63,6 +98,9 @@ def _bench_e2e():
     res = stitch(dirs[7], cfg, output="")
     elapsed = time.perf_counter() - t0
 
+    gt = np.load(os.path.join(dirs[7], "gt.npz"))
+    reproj = _reproj_err_px(res.cameras, res.kept_indices,
+                            gt["k"], gt["rs"], (h, w))
     mp = len(res.kept_indices) * h * w / 1e6
     value = mp / elapsed
     print(f"# kept {len(res.kept_indices)}/{n_images} imgs, {elapsed:.2f}s, "
@@ -71,11 +109,103 @@ def _bench_e2e():
           file=sys.stderr)
     print(f"# p50 pair latency: {_pair_latency_ms():.2f} ms",
           file=sys.stderr)
+    print(f"# mean pairwise reprojection error: {reproj:.3f} px",
+          file=sys.stderr)
     return {
         "metric": "end_to_end_stitch_throughput",
         "value": round(value, 3),
         "unit": "MP/s/chip",
         "vs_baseline": round(value / NORTH_STAR, 3),
+        "reproj_err_px": round(reproj, 3),
+    }
+
+
+def _bench_vga_pair():
+    """BASELINE config 1: 2-image VGA pair — ORB detect+match, RANSAC
+    homography, feather blend.  Reports p50 end-to-end wall latency."""
+    from image_stitching_tpu.config import StitchConfig
+    from image_stitching_tpu.data.synth import (make_ring_captures,
+                                                write_capture_dir)
+    from image_stitching_tpu.pipeline.stitcher import stitch
+
+    cache_root = os.path.expanduser("~/.cache/stitch_bench")
+    dirs = []
+    for seed in range(6):
+        d = os.path.join(cache_root, f"vga2_s{seed}")
+        if not os.path.isdir(d) or not os.path.exists(
+                os.path.join(d, "gt.npz")):
+            images, k, rs = make_ring_captures(
+                n_images=2, hw=(480, 640), fov_deg=55,
+                overlap_ratio=0.5, seed=100 + seed)
+            write_capture_dir(d, images, k, rs)
+            np.savez(os.path.join(d, "gt.npz"), k=k, rs=np.stack(rs))
+        dirs.append(d)
+    run_dir = tempfile.mkdtemp(prefix="bench_vga_")
+    os.chdir(run_dir)
+    cfg = StitchConfig(num_features=1500, blend_type="feather",
+                       checkpoint_dir=run_dir)
+    stitch(dirs[0], cfg, output="")  # warm-up compiles
+    lat = []
+    reproj = []
+    for d in dirs[1:]:
+        t0 = time.perf_counter()
+        res = stitch(d, cfg, output="")
+        lat.append(time.perf_counter() - t0)
+        gt = np.load(os.path.join(d, "gt.npz"))
+        reproj.append(_reproj_err_px(res.cameras, res.kept_indices,
+                                     gt["k"], gt["rs"], (480, 640)))
+    p50 = float(np.percentile(lat, 50) * 1e3)
+    print(f"# VGA pair stitch p50 {p50:.1f} ms over {len(lat)} fresh dirs; "
+          f"reproj {np.mean(reproj):.3f} px", file=sys.stderr)
+    return {
+        "metric": "vga_pair_stitch_latency",
+        "value": round(p50, 1),
+        "unit": "ms_p50",
+        "vs_baseline": round((2 * 0.307) / (p50 / 1e3) / NORTH_STAR, 3),
+        "reproj_err_px": round(float(np.mean(reproj)), 3),
+    }
+
+
+def _bench_cyl4():
+    """BASELINE config 2: 4-image 1080p horizontal panorama, cylindrical
+    projection.  MP/s + reprojection error."""
+    from image_stitching_tpu.config import StitchConfig
+    from image_stitching_tpu.data.synth import (make_ring_captures,
+                                                write_capture_dir)
+    from image_stitching_tpu.pipeline.stitcher import stitch
+
+    cache_root = os.path.expanduser("~/.cache/stitch_bench")
+    dirs = {}
+    for seed in (11, 12):
+        d = os.path.join(cache_root, f"cyl4_s{seed}")
+        if not os.path.isdir(d) or not os.path.exists(
+                os.path.join(d, "gt.npz")):
+            images, k, rs = make_ring_captures(
+                n_images=4, hw=(1080, 1920), fov_deg=55,
+                overlap_ratio=0.45, seed=seed)
+            write_capture_dir(d, images, k, rs)
+            np.savez(os.path.join(d, "gt.npz"), k=k, rs=np.stack(rs))
+        dirs[seed] = d
+    run_dir = tempfile.mkdtemp(prefix="bench_cyl_")
+    os.chdir(run_dir)
+    cfg = StitchConfig(num_features=1500, warp_type="cylindrical",
+                       checkpoint_dir=run_dir)
+    stitch(dirs[12], cfg, output="")  # warm-up
+    t0 = time.perf_counter()
+    res = stitch(dirs[11], cfg, output="")
+    elapsed = time.perf_counter() - t0
+    gt = np.load(os.path.join(dirs[11], "gt.npz"))
+    reproj = _reproj_err_px(res.cameras, res.kept_indices,
+                            gt["k"], gt["rs"], (1080, 1920))
+    mp = len(res.kept_indices) * 1080 * 1920 / 1e6
+    value = mp / elapsed
+    print(f"# cyl4: {elapsed:.2f}s, reproj {reproj:.3f} px", file=sys.stderr)
+    return {
+        "metric": "cylindrical_4x1080p_throughput",
+        "value": round(value, 3),
+        "unit": "MP/s/chip",
+        "vs_baseline": round(value / NORTH_STAR, 3),
+        "reproj_err_px": round(reproj, 3),
     }
 
 
@@ -179,7 +309,8 @@ def _bench_gigapixel():
 def main():
     mode = os.environ.get("BENCH_MODE", "e2e")
     fn = {"e2e": _bench_e2e, "pairs": _bench_pairs,
-          "gigapixel": _bench_gigapixel}[mode]
+          "gigapixel": _bench_gigapixel, "vga_pair": _bench_vga_pair,
+          "cyl4": _bench_cyl4}[mode]
     print(json.dumps(fn()))
     return 0
 

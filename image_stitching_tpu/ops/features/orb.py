@@ -230,7 +230,13 @@ def _orb_impl(gray: jnp.ndarray, pattern: jnp.ndarray, *, n_features: int,
                (xx >= border) & (xx < lw - border))
         cand = (score > 0) & inb
         rank = jnp.where(cand, harris, -jnp.inf).reshape(-1)
-        top_vals, top_idx = jax.lax.top_k(rank, k_l)
+        # approx_max_k instead of top_k: on TPU the exact top-k lowers to
+        # a partial sort that costs ~3x the whole FAST+Harris memory pass
+        # at 8MP; the hardware-accelerated approximate variant fuses into
+        # it for free.  Recall 0.95 on "which of the strongest corners
+        # make the cut" is harmless for keypoint selection.
+        top_vals, top_idx = jax.lax.approx_max_k(rank, k_l,
+                                                 recall_target=0.95)
         valid = top_vals > -jnp.inf
         kyi = (top_idx // lw).astype(jnp.int32)
         kxi = (top_idx % lw).astype(jnp.int32)

@@ -31,6 +31,20 @@ def test_resize_matches_opencv(rng):
     assert np.abs(down - ref).mean() < 2.0
 
 
+def test_resize_matches_inter_linear_exact(rng):
+    """The reference resizes with INTER_LINEAR_EXACT (image_stitching.cpp:
+    602,619,1144) — cv2's bit-exact fixed-point bilinear.  Our float path
+    must agree to the 1-LSB fixed-point rounding tie on uint8 inputs."""
+    img = rng.integers(0, 256, (37, 53, 3)).astype(np.uint8)
+    for out_hw in [(61, 91), (19, 27), (74, 106)]:
+        ours = np.clip(np.round(np.asarray(
+            resize(jnp.asarray(img, jnp.float32), out_hw))), 0, 255)
+        ref = cv2.resize(img, (out_hw[1], out_hw[0]),
+                         interpolation=cv2.INTER_LINEAR_EXACT)
+        d = np.abs(ours - ref.astype(np.float64))
+        assert d.max() <= 1.0 and d.mean() < 0.2
+
+
 def test_dilate_matches_opencv(rng):
     m = (rng.uniform(size=(32, 40)) > 0.8).astype(np.uint8) * 255
     ours = np.asarray(dilate3(jnp.asarray(m)))
