@@ -25,7 +25,11 @@ __all__ = ["sift_detect_and_describe"]
 
 _N_SPO = 3            # scales per octave
 _SIGMA0 = 1.6
-_CONTRAST = 8.0       # on 0..255 images (OpenCV 0.04 * 255 / n_spo ~ 3.4)
+# OpenCV's final contrast check is contrastThreshold / nOctaveLayers on
+# 0..1 images = 0.04 / 3 * 255 ~ 3.4 on our 0..255 scale.  (A stricter 8.0
+# starved detection to ~25 extrema/octave on the synthetic captures —
+# measured in tools/detector_quality.py.)
+_CONTRAST = 3.4
 _EDGE_R = 10.0
 
 

@@ -93,14 +93,22 @@ def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
 
 
 def l2_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
-    """(Ka, D) x (Kb, D) float -> (Ka, Kb) L2 distances (SIFT/SURF path)."""
+    """(Ka, D) x (Kb, D) float -> (Ka, Kb) SQUARED L2 distances.
+
+    Squared on purpose: cv::detail::BestOf2NearestMatcher runs FLANN KNN
+    for CV_32F descriptors, which reports squared L2, and applies the
+    `d1 < (1 - match_conf) * d2` ratio test on those squared values — so
+    the reference's SIFT/SURF default match_conf 0.65
+    (`image_stitching.cpp:59`) is calibrated to squared distances.  A
+    true-L2 ratio test at 0.65 (d1 < 0.35 d2) is quadratically stricter
+    and drops every pair on the synthetic captures."""
     a = desc_a.astype(jnp.float32)
     b = desc_b.astype(jnp.float32)
     dots = jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
     na = jnp.sum(a * a, axis=1)
     nb = jnp.sum(b * b, axis=1)
-    return jnp.sqrt(jnp.maximum(na[:, None] + nb[None, :] - 2 * dots, 0.0))
+    return jnp.maximum(na[:, None] + nb[None, :] - 2 * dots, 0.0)
 
 
 def _two_nn(dist: jnp.ndarray, valid_b: jnp.ndarray):

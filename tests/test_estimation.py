@@ -191,6 +191,97 @@ def test_bundle_adjust_recovers_rotations(cost):
     assert max(errs) < noisy_err * 0.35, (errs, noisy_err)
 
 
+def _cv2_ba_reproj(cams_init, prob, img_size=(640, 480), conf=3.0):
+    """Drive cv2.detail.BundleAdjusterReproj on the same correspondence
+    set (the reference's adjuster at image_stitching.cpp:680-713), with
+    the reference-default refinement mask "_____" (rotations only)."""
+    n = len(cams_init)
+    kp_store = [[] for _ in range(n)]
+    pair_idx = {}
+    for q in range(len(prob.cam_i)):
+        if prob.w[q] == 0:
+            continue
+        i, j = int(prob.cam_i[q]), int(prob.cam_j[q])
+        ai = len(kp_store[i])
+        kp_store[i].append(tuple(prob.p_i[q]))
+        bj = len(kp_store[j])
+        kp_store[j].append(tuple(prob.p_j[q]))
+        pair_idx.setdefault((i, j), []).append((ai, bj))
+    feats = []
+    for i in range(n):
+        f = cv2.detail.ImageFeatures()
+        f.img_idx = i
+        f.img_size = img_size
+        f.keypoints = [cv2.KeyPoint(float(x), float(y), 7.0)
+                       for x, y in kp_store[i]]
+        feats.append(f)
+    k = np.asarray(cams_init.K(), np.float64)
+    r0 = np.asarray(cams_init.R, np.float64)
+    pairwise = []
+    for i in range(n):
+        for j in range(n):
+            m = cv2.detail.MatchesInfo()
+            m.src_img_idx, m.dst_img_idx = i, j
+            if (i, j) in pair_idx:
+                idx = pair_idx[(i, j)]
+                m.matches = [cv2.DMatch(a, b, 0.0) for a, b in idx]
+                m.inliers_mask = np.ones(len(idx), np.uint8)
+                m.num_inliers = len(idx)
+                m.confidence = conf
+                h = k[j] @ r0[j].T @ r0[i] @ np.linalg.inv(k[i])
+                m.H = h / h[2, 2]
+            else:
+                m.confidence = 0.0
+            pairwise.append(m)
+    cv_cams = []
+    for i in range(n):
+        c = cv2.detail.CameraParams()
+        c.focal = float(cams_init.focal[i])
+        c.aspect = float(cams_init.aspect[i])
+        c.ppx = float(cams_init.ppx[i])
+        c.ppy = float(cams_init.ppy[i])
+        c.R = r0[i].astype(np.float32)
+        c.t = np.zeros((3, 1), np.float64)
+        cv_cams.append(c)
+    ba = cv2.detail.BundleAdjusterReproj()
+    ba.setConfThresh(1.0)
+    ba.setRefinementMask(np.zeros((3, 3), np.uint8))
+    ok, cv_out = ba.apply(feats, pairwise, cv_cams)
+    assert ok
+    return np.stack([c.R.astype(np.float64) for c in cv_out])
+
+
+def test_bundle_adjust_matches_cv2_adjuster():
+    """Oracle parity with cv2.detail.BundleAdjusterReproj on the identical
+    correspondence table.  The comparison uses the gauge-invariant relative
+    rotation R_j^T R_i (the global gauge is a free left-multiplication both
+    solvers may pick differently)."""
+    true_cams = ring_cameras(4)
+    prob = synth_correspondences(true_cams, n_per_edge=60, noise=0.3,
+                                 seed=3)
+    rng = np.random.default_rng(1)
+    pert = rodrigues_to_matrix(
+        rng.normal(0, 0.01, (4, 3)).astype(np.float32))
+    init = Cameras(
+        focal=true_cams.focal, aspect=true_cams.aspect, ppx=true_cams.ppx,
+        ppy=true_cams.ppy,
+        R=np.einsum("nij,njk->nik", np.asarray(pert),
+                    np.asarray(true_cams.R)).astype(np.float32),
+        t=true_cams.t)
+
+    ours = np.asarray(
+        bundle_adjust(init, prob, cost_func="reproj",
+                      refine_mask="_____").R, np.float64)
+    cv_r = _cv2_ba_reproj(init, prob)
+
+    for i in range(3):
+        rel_o = ours[i + 1].T @ ours[i]
+        rel_c = cv_r[i + 1].T @ cv_r[i]
+        d = rel_o @ rel_c.T
+        ang = np.degrees(np.arccos(np.clip((np.trace(d) - 1) / 2, -1, 1)))
+        assert ang < 0.02, (i, ang)
+
+
 def test_bundle_adjust_refine_focal():
     true_cams = ring_cameras(4, focal=800.0)
     prob = synth_correspondences(true_cams, n_per_edge=60, noise=0.0)

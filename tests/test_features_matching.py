@@ -65,6 +65,11 @@ def test_match_recovers_homography(name, scene):
     proj_t = np.asarray(apply_h(jnp.asarray(h_true), jnp.asarray(pts)))
     proj_e = np.asarray(apply_h(pm.h, jnp.asarray(pts)))
     assert np.abs(proj_t - proj_e).max() < 3.0
+    # Usable confidence regime: the pipeline keeps pairs with
+    # conf > conf_thresh (default 1.0, image_stitching.cpp:213); every
+    # detector family must clear it on an adjacent overlapping pair
+    # (quality table: tools/detector_quality.py).
+    assert float(pm.confidence) > 1.0, float(pm.confidence)
 
 
 def test_hamming_matrix_exact(rng):
@@ -78,10 +83,12 @@ def test_hamming_matrix_exact(rng):
 
 
 def test_l2_matrix_exact(rng):
+    # Squared L2: cv2's float-descriptor matcher (FLANN KNN) ratio-tests
+    # squared distances, so ours must be squared for match_conf parity.
     a = rng.normal(size=(10, 32)).astype(np.float32)
     b = rng.normal(size=(7, 32)).astype(np.float32)
     ours = np.asarray(l2_matrix(jnp.asarray(a), jnp.asarray(b)))
-    ref = np.linalg.norm(a[:, None] - b[None], axis=-1)
+    ref = np.linalg.norm(a[:, None] - b[None], axis=-1) ** 2
     np.testing.assert_allclose(ours, ref, atol=1e-3)
 
 
