@@ -60,54 +60,55 @@ def make_brief_pattern(patch_size: int = 40, n_bits: int = 256,
     return np.clip(pts, -half, half).astype(np.float32)
 
 
-def _ring_stack(img: jnp.ndarray) -> jnp.ndarray:
-    """(16, H, W) stack of the FAST ring neighbors via padded slicing."""
+def fast_corner_mask(img: jnp.ndarray, threshold: float = 20.0,
+                     arc: int = 9) -> jnp.ndarray:
+    """FAST-9/16 corner mask, TPU-restructured.
+
+    Instead of a (16, H, W) float neighbor stack (512 MB of traffic at
+    8 MP), the 16 ring comparisons are packed into ONE uint16 bit-plane
+    per polarity and the >= `arc` circular-run test becomes `arc - 1`
+    rotate-AND steps on that plane (`r &= rot1(r)`), all in 16-bit
+    integer ops.  No FAST score is computed: ranking is HARRIS_SCORE
+    (`image_stitching.cpp:545`), so only corner-ness is needed.
+    """
     h, w = img.shape
-    pad = jnp.pad(img, 3, mode="edge")
-    outs = []
-    for dx, dy in _FAST_RING:
-        outs.append(jax.lax.dynamic_slice(pad, (3 + dy, 3 + dx), (h, w)))
-    return jnp.stack(outs)
+    if jnp.issubdtype(img.dtype, jnp.floating):
+        # pyramid levels are fractional (resize output): round like the
+        # reference's u8 level images before the integer FAST compares.
+        center = jnp.round(img).astype(jnp.int16)
+    else:
+        center = img.astype(jnp.int16)
+    pad = jnp.pad(center, 3, mode="edge")
+    hi = center + jnp.int16(threshold)
+    lo = center - jnp.int16(threshold)
+    bright = jnp.zeros((h, w), jnp.uint16)
+    dark = jnp.zeros((h, w), jnp.uint16)
+    for i, (dx, dy) in enumerate(_FAST_RING):
+        nb = jax.lax.dynamic_slice(pad, (3 + dy, 3 + dx), (h, w))
+        bit = jnp.uint16(1 << i)
+        bright = bright | jnp.where(nb > hi, bit, jnp.uint16(0))
+        dark = dark | jnp.where(nb < lo, bit, jnp.uint16(0))
 
+    def run_ge(bits):
+        # circular 16-bit rotate-left by 1, then AND: after arc-1 steps a
+        # surviving bit marks the start of >= arc consecutive set bits.
+        r = bits
+        for _ in range(arc - 1):
+            r = r & ((r << 1) | (r >> 15))
+        return r != 0
 
-def _consecutive_mask(bits: jnp.ndarray, run: int) -> jnp.ndarray:
-    """True where the 16 circular bools (16, H, W) contain >= `run`
-    consecutive True: AND of `run` circular rotations, then any position."""
-    acc = bits
-    for k in range(1, run):
-        acc = acc & jnp.roll(bits, -k, axis=0)
-    return jnp.any(acc, axis=0)
+    is_corner = run_ge(bright) | run_ge(dark)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    inb = (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
+    return is_corner & inb
 
 
 def fast_score_map(img: jnp.ndarray, threshold: float = 20.0,
                    arc: int = 9) -> jnp.ndarray:
-    """FAST-9/16 corner score map (0 where not a corner).
-
-    Score = sum over the detected arc's margin beyond threshold (a standard
-    vectorized FAST score; ranking is by Harris anyway, per HARRIS_SCORE).
-    """
-    img = img.astype(jnp.float32)
-    ring = _ring_stack(img)
-    diff = ring - img[None]
-    brighter = diff > threshold
-    darker = diff < -threshold
-    is_corner = _consecutive_mask(brighter, arc) | _consecutive_mask(darker,
-                                                                     arc)
-    score = jnp.sum(jnp.maximum(jnp.abs(diff) - threshold, 0.0), axis=0)
-    score = jnp.where(is_corner, score, 0.0)
-    # Kill a 3px border (FAST ring radius).
-    h, w = img.shape
-    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    inb = (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
-    return jnp.where(inb, score, 0.0)
-
-
-def _nms3(score: jnp.ndarray) -> jnp.ndarray:
-    pooled = jax.lax.reduce_window(score[None, ..., None], -jnp.inf,
-                                   jax.lax.max, (1, 3, 3, 1), (1, 1, 1, 1),
-                                   "SAME")[0, ..., 0]
-    return jnp.where(score >= pooled, score, 0.0)
+    """Corner mask as a {0,1} float map (compat shim for callers/tests
+    that treat >0 as 'is a FAST corner'; ORB ranks by Harris, not this)."""
+    return fast_corner_mask(img, threshold, arc).astype(jnp.float32)
 
 
 def harris_response_map(img: jnp.ndarray, block: int = 7,
@@ -217,18 +218,31 @@ def _orb_impl(gray: jnp.ndarray, pattern: jnp.ndarray, *, n_features: int,
         lh, lw = scale_size(h, w, 1.0 / scale)
         if min(lh, lw) < patch_size + 8 or counts[level] == 0:
             continue
-        img_l = resize(gray, (lh, lw)) if level else gray.astype(jnp.float32)
+        # gray may be uint8 (the ingest path uploads u8 luma; 4x fewer
+        # bytes than f32 at the ~1 GB/s effective device bandwidth) — the
+        # cast below fuses into the first consumers.
+        img_l = (resize(gray, (lh, lw)) if level
+                 else gray.astype(jnp.float32))
         k_l = counts[level]
 
-        score = _nms3(fast_score_map(img_l, fast_threshold))
+        corner = fast_corner_mask(gray if level == 0 else img_l,
+                                  fast_threshold)
         harris = harris_response_map(img_l)
-        # Rank FAST survivors by Harris (HARRIS_SCORE semantics).
+        # Rank FAST survivors by Harris (HARRIS_SCORE semantics) with 3x3
+        # NMS on the Harris values of CANDIDATE pixels only (replaces
+        # FAST-score NMS — the score is never used for ranking, so
+        # computing it was pure traffic; non-corner neighbors must not
+        # suppress a corner, hence the -inf masking before the pool).
+        masked = jnp.where(corner, harris, -jnp.inf)
+        pooled = jax.lax.reduce_window(
+            masked[None, ..., None], -jnp.inf, jax.lax.max,
+            (1, 3, 3, 1), (1, 1, 1, 1), "SAME")[0, ..., 0]
         border = patch_size // 2 + 2
         yy = jax.lax.broadcasted_iota(jnp.int32, (lh, lw), 0)
         xx = jax.lax.broadcasted_iota(jnp.int32, (lh, lw), 1)
         inb = ((yy >= border) & (yy < lh - border) &
                (xx >= border) & (xx < lw - border))
-        cand = (score > 0) & inb
+        cand = corner & (masked >= pooled) & inb
         rank = jnp.where(cand, harris, -jnp.inf).reshape(-1)
         # approx_max_k instead of top_k: on TPU the exact top-k lowers to
         # a partial sort that costs ~3x the whole FAST+Harris memory pass

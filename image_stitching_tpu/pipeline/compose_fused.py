@@ -67,10 +67,14 @@ def _warp_stack(images, ks, rs, scale, tls, *, proj_name: str, pad_h: int,
                 pad_w: int):
     """Vmapped warp of an image stack onto padded per-image rects.
 
-    Returns (warped (N, pad_h, pad_w, C) float32,
-             valid (N, pad_h, pad_w) float32 in {0,1}) — the seam-scale
+    Returns (warped (N, pad_h, pad_w, C) uint8,
+             valid (N, pad_h, pad_w) uint8 in {0,255}) — the seam-scale
     warp loop (`image_stitching.cpp:975-989`) as one device program with
-    exactly two host downloads.
+    exactly two host downloads.  uint8 on purpose, twice over: the
+    reference's seam-scale warp output IS CV_8UC3 (it warps the u8 image,
+    then converts to CV_32F only for the seam finder), and u8+u8 is 4x
+    fewer bytes through the ~20 MB/s tunnel than f32 (measured:
+    tools/profile_tunnel.py).
     """
     proj_bwd = PROJECTIONS[proj_name][1]
     hc, wc = images.shape[1], images.shape[2]
@@ -102,7 +106,9 @@ def _warp_stack(images, ks, rs, scale, tls, *, proj_name: str, pad_h: int,
         wmask = valid & (xr >= 0) & (xr <= wc - 1) & (yr >= 0) & \
             (yr <= hc - 1)
         warped = jnp.where(wmask[..., None], warped, 0.0)
-        return warped, wmask.astype(jnp.float32)
+        warped_u8 = jnp.clip(jnp.round(warped), 0.0, 255.0
+                             ).astype(jnp.uint8)
+        return warped_u8, wmask.astype(jnp.uint8) * jnp.uint8(255)
 
     return jax.vmap(one)(images, ks, rs, tls)
 

@@ -146,14 +146,24 @@ def _fast_prep_impl(gray_stack, rgb_stack, *, is_portrait: bool,
     seam = jax.vmap(lambda im: jnp.clip(
         jnp.round(resize(im, seam_hw)), 0, 255).astype(jnp.uint8))(rgb_o)
     gray_work = None
+
+    def to_u8(g):
+        # u8 work gray is BOTH the parity dtype (the reference's work
+        # image is CV_8U: resize-u8 then cvtColor-u8) and 4x fewer bytes
+        # for the detect program at ~1 GB/s effective device bandwidth.
+        return jnp.clip(jnp.round(g), 0, 255).astype(jnp.uint8)
+
     if gray_mode == "luma":
         g_o = _orient_stack(gray_stack, is_portrait)
-        gray_work = jax.vmap(lambda g: resize(g, work_hw))(g_o)
+        if g_o.shape[1:3] == tuple(work_hw):
+            gray_work = g_o if g_o.dtype == jnp.uint8 else jax.vmap(to_u8)(
+                g_o)
+        else:
+            gray_work = jax.vmap(
+                lambda g: to_u8(resize(g, work_hw)))(g_o)
     elif gray_mode == "from_rgb":
-        # Legacy-path semantics: resize RGB to work scale, then gray
-        # (fractional values — rgb_to_gray of a float image).
         gray_work = jax.vmap(
-            lambda im: rgb_to_gray(resize(im, work_hw)))(rgb_o)
+            lambda im: to_u8(rgb_to_gray(resize(im, work_hw))))(rgb_o)
     return gray_work, rgb_o, seam
 
 

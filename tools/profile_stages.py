@@ -46,14 +46,16 @@ def timed(fn, make_args, reps=3, label=""):
 
 def main():
     rng = np.random.default_rng(0)
-    gray_host = rng.uniform(0, 255, (N, H, W)).astype(np.float32)
+    gray_host = rng.integers(0, 256, (N, H, W)).astype(np.uint8)
     gray = jax.device_put(gray_host)
     jax.block_until_ready(gray)
 
     # ---- batched ORB detection (Finding features) -------------------------
+    # u8 input stack — the production ingest dtype.
     from image_stitching_tpu.ops.features.orb import orb_detect_stack
     f = timed(lambda g: orb_detect_stack(g, n_features=1500),
-              lambda r: (gray + np.float32(r),), label="orb_detect_stack 8x8MP")
+              lambda r: ((gray + np.uint8(r)),),
+              label="orb_detect_stack 8x8MP u8")
 
     # ---- matching (Pairwise matching) --------------------------------------
     from image_stitching_tpu.ops.matching import match_all_pairs
@@ -72,7 +74,7 @@ def main():
                                matcher_type="homography")
     # fresh content: rebuild feats from perturbed gray each rep
     def mk(r):
-        fs = orb_detect_stack(gray + np.float32(r * 11 + 1), n_features=1500)
+        fs = orb_detect_stack(gray + np.uint8(r * 11 + 1), n_features=1500)
         fs = jax.tree.map(jax.block_until_ready, fs)
         return (fs,)
     timed(run_match, mk, label="match_all_pairs 8 imgs")
