@@ -37,6 +37,51 @@ from ..ops.warps import PROJECTIONS, Warper, _backward_xy, result_roi
 __all__ = ["fused_compose", "fused_compose_sharded"]
 
 
+def _patch_bilinear(img, sx, sy):
+    """Bilinear sample via ONE (2,2[,C]) slice-gather per point.
+
+    4x fewer gather descriptors than four scalar gathers (measured 31%
+    faster on the tunnel v5e, tools/profile_gather.py).  Border handling
+    reproduces cv2 BORDER_REFLECT exactly for the coordinates bilinear
+    can produce on in-range samples: for x0 == -1 the two reflect taps
+    are both column 0, which equals clamping the patch base to 0 and
+    saturating the fractional weight; likewise at the high edge.  Far
+    out-of-range samples clamp to the edge pixel — those are always
+    masked out of the blend (weight 0), so only the pyramid's smear of
+    out-of-mask content differs, and cleanly so."""
+    h, w = img.shape[0], img.shape[1]
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    fx = jnp.where(x0i < 0, 0.0, jnp.where(x0i > w - 2, 1.0, fx))
+    fy = jnp.where(y0i < 0, 0.0, jnp.where(y0i > h - 2, 1.0, fy))
+    bx = jnp.clip(x0i, 0, w - 2).reshape(-1)
+    by = jnp.clip(y0i, 0, h - 2).reshape(-1)
+    idx = jnp.stack([by, bx], axis=-1)
+    chan = img.ndim == 3
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3) if chan else (1, 2),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+    sizes = (2, 2, img.shape[2]) if chan else (2, 2)
+    patch = jax.lax.gather(img, idx, dn, slice_sizes=sizes,
+                           mode=jax.lax.GatherScatterMode.CLIP)
+    patch = patch.reshape(sy.shape + patch.shape[1:])
+    if chan:
+        fx = fx[..., None]
+        fy = fy[..., None]
+    top = patch[..., 0, 0, :] if chan else patch[..., 0, 0]
+    tr = patch[..., 0, 1, :] if chan else patch[..., 0, 1]
+    bl = patch[..., 1, 0, :] if chan else patch[..., 1, 0]
+    br = patch[..., 1, 1, :] if chan else patch[..., 1, 1]
+    row0 = top * (1 - fx) + tr * fx
+    row1 = bl * (1 - fx) + br * fx
+    return row0 * (1 - fy) + row1 * fy
+
+
 def _bilinear_sample(img, sx, sy, fill=0.0):
     """Gather with bilinear weights, constant fill outside."""
     h, w = img.shape[0], img.shape[1]
@@ -84,23 +129,7 @@ def _warp_stack(images, ks, rs, scale, tls, *, proj_name: str, pad_h: int,
         vs = tl[1] + jnp.arange(pad_h, dtype=jnp.float32)
         uu, vv = jnp.meshgrid(us, vs)
         sx, sy, valid = _backward_xy(proj_bwd, uu, vv, k, r, scale)
-
-        def reflect(c, nn):
-            period = 2 * nn
-            c = jnp.mod(c, period)
-            return jnp.where(c >= nn, period - 1 - c, c)
-        x0 = jnp.floor(sx)
-        y0 = jnp.floor(sy)
-        fx = (sx - x0)[..., None]
-        fy = (sy - y0)[..., None]
-        x0i = x0.astype(jnp.int32)
-        y0i = y0.astype(jnp.int32)
-        i00 = img[reflect(y0i, hc), reflect(x0i, wc)]
-        i01 = img[reflect(y0i, hc), reflect(x0i + 1, wc)]
-        i10 = img[reflect(y0i + 1, hc), reflect(x0i, wc)]
-        i11 = img[reflect(y0i + 1, hc), reflect(x0i + 1, wc)]
-        warped = (i00 * (1 - fx) * (1 - fy) + i01 * fx * (1 - fy) +
-                  i10 * (1 - fx) * fy + i11 * fx * fy)
+        warped = _patch_bilinear(img, sx, sy)
         xr = jnp.round(sx)
         yr = jnp.round(sy)
         wmask = valid & (xr >= 0) & (xr <= wc - 1) & (yr >= 0) & \
@@ -124,7 +153,10 @@ def _warp_gain_seam(img, k, r, uu, vv, scale, smask, stl, seam_ratio,
     hc, wc = img.shape[0], img.shape[1]
     sx, sy, valid = _backward_xy(proj_bwd, uu, vv, k, r, scale)
 
-    # BORDER_REFLECT bilinear image sample.
+    # BORDER_REFLECT bilinear image sample.  Four scalar gathers, NOT
+    # _patch_bilinear: inside this lax.scan body the (2,2,3)-slice gather
+    # lowers 10x slower (6.7s vs 0.58s whole-compose, measured) — the
+    # slice-gather only wins under vmap batching (_warp_stack).
     def reflect(c, nn):
         period = 2 * nn
         c = jnp.mod(c, period)
@@ -208,6 +240,17 @@ def _fused_compose_impl(images, ks, rs, scale, tls, canvas_tl,
     proj_bwd = PROJECTIONS[proj_name][1]
     n, hc, wc = images.shape[0], images.shape[1], images.shape[2]
 
+    # ONE scan over images: warp+gain+seam, band pyramid, and the
+    # weighted-laplacian accumulate — all fused per image.  Structure
+    # choices are measured, not guessed (tools/profile_stages.py, 8 x
+    # 0.44MP rects, 3040x544 canvas, 5 bands):
+    #   all-scan (this)                          577 ms
+    #   vmapped warp + vmapped pyramids + scan   731 ms  (pyramids for
+    #     every image materialize in HBM before any accumulation)
+    #   vmapped warp + scanned pyramid/accum     653 ms  (warped+weight
+    #     stacks materialize instead)
+    #   all-scan with (2,2,3)-slice gather      6731 ms  (slice-gather
+    #     lowers pathologically inside a scan body; fine under vmap)
     accs = [jnp.zeros((canvas_h >> b, canvas_w >> b, 3), jnp.float32)
             for b in range(n_bands + 1)]
     waccs = [jnp.zeros((canvas_h >> b, canvas_w >> b), jnp.float32)
@@ -225,8 +268,7 @@ def _fused_compose_impl(images, ks, rs, scale, tls, canvas_tl,
             gain_mode=gain_mode)
 
         # Multi-band accumulate at band-aligned offsets.
-        img_m = warped
-        gauss = [img_m]
+        gauss = [warped]
         wg = [weight]
         for _ in range(n_bands):
             gauss.append(pyr_down(gauss[-1]))
