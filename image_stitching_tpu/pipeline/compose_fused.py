@@ -30,8 +30,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import BlenderType, ExposureCompensatorType as ECType
-from ..ops.blend import WEIGHT_EPS, num_bands_for, pyr_down, pyr_up
+from ..ops.blend import WEIGHT_EPS, num_bands_for
 from ..ops.imgproc import dilate3
+from ..ops.pyr_mat import pyr_down_mm, pyr_up_mm
 from ..ops.warps import PROJECTIONS, Warper, _backward_xy, result_roi
 
 __all__ = ["fused_compose", "fused_compose_sharded"]
@@ -241,23 +242,21 @@ def _fused_compose_impl(images, ks, rs, scale, tls, canvas_tl,
     n, hc, wc = images.shape[0], images.shape[1], images.shape[2]
 
     # ONE scan over images: warp+gain+seam, band pyramid, and the
-    # weighted-laplacian accumulate — all fused per image.  Structure
-    # choices are measured, not guessed (tools/profile_stages.py, 8 x
-    # 0.44MP rects, 3040x544 canvas, 5 bands):
-    #   all-scan (this)                          577 ms
-    #   vmapped warp + vmapped pyramids + scan   731 ms  (pyramids for
-    #     every image materialize in HBM before any accumulation)
-    #   vmapped warp + scanned pyramid/accum     653 ms  (warped+weight
-    #     stacks materialize instead)
-    #   all-scan with (2,2,3)-slice gather      6731 ms  (slice-gather
-    #     lowers pathologically inside a scan body; fine under vmap)
-    accs = [jnp.zeros((canvas_h >> b, canvas_w >> b, 3), jnp.float32)
+    # weighted-laplacian accumulate — all fused per image.  The pyramid
+    # and accumulate run PLANAR (4, h, w) with the weight as channel 3,
+    # and pyrDown/pyrUp are banded matrix products on the MXU
+    # (ops/pyr_mat.py).  Download-honest timings at bench shapes (8 x
+    # 0.45MP rects, 3040x544 canvas, 5 bands; tools/exp_compose_planar.py
+    # — jax.block_until_ready is NOT a barrier through the axon tunnel,
+    # see CLAUDE.md):
+    #   interleaved (h, w, 3) + separable slice blurs   43.9 ms
+    #   planar (4, h, w) + matmul pyramids (this)        3.0 ms
+    #   batched einsum pyramids + accumulate-only scan   1.8 ms
+    #     (not worth materializing every warped rect for the last 1.2 ms)
+    accs = [jnp.zeros((4, canvas_h >> b, canvas_w >> b), jnp.float32)
             for b in range(n_bands + 1)]
-    waccs = [jnp.zeros((canvas_h >> b, canvas_w >> b), jnp.float32)
-             for b in range(n_bands + 1)]
 
-    def body(carry, inp):
-        accs, waccs = carry
+    def body(accs, inp):
         img, k, r, tl, smask, stl, gain, ggrid, groi = inp
         us = tl[0] + jnp.arange(pad_w, dtype=jnp.float32)
         vs = tl[1] + jnp.arange(pad_h, dtype=jnp.float32)
@@ -267,44 +266,46 @@ def _fused_compose_impl(images, ks, rs, scale, tls, canvas_tl,
             gain, ggrid, groi, proj_bwd=proj_bwd,
             gain_mode=gain_mode)
 
-        # Multi-band accumulate at band-aligned offsets.
-        gauss = [warped]
-        wg = [weight]
-        for _ in range(n_bands):
-            gauss.append(pyr_down(gauss[-1]))
-            wg.append(pyr_down(wg[-1]))
+        # Multi-band accumulate at band-aligned offsets, planar.
+        x4 = jnp.concatenate(
+            [jnp.transpose(warped, (2, 0, 1)), weight[None]], axis=0)
+        gauss = [x4]
+        for b in range(n_bands):
+            gauss.append(pyr_down_mm(gauss[-1]))
         off = (tl - canvas_tl).astype(jnp.int32)
         new_accs = []
-        new_waccs = []
         for b in range(n_bands + 1):
+            g = gauss[b]
             if b < n_bands:
-                lap = gauss[b] - pyr_up(gauss[b + 1], gauss[b].shape[:2])
+                up = pyr_up_mm(gauss[b + 1], (g.shape[1], g.shape[2]))
+                lap = g - up
             else:
-                lap = gauss[b]
+                lap = g
+            # channel 3 accumulates its own GAUSSIAN (the blend weight),
+            # channels 0-2 the weighted laplacian
+            w = g[3:4]
+            val = jnp.concatenate([lap[:3] * w, w], axis=0)
             ob = off >> b
-            lh, lw = lap.shape[0], lap.shape[1]
-            cur = jax.lax.dynamic_slice(accs[b], (ob[1], ob[0], 0),
-                                        (lh, lw, 3))
+            cur = jax.lax.dynamic_slice(
+                accs[b], (0, ob[1], ob[0]), (4, g.shape[1], g.shape[2]))
             new_accs.append(jax.lax.dynamic_update_slice(
-                accs[b], cur + lap * wg[b][..., None], (ob[1], ob[0], 0)))
-            curw = jax.lax.dynamic_slice(waccs[b], (ob[1], ob[0]), (lh, lw))
-            new_waccs.append(jax.lax.dynamic_update_slice(
-                waccs[b], curw + wg[b], (ob[1], ob[0])))
-        return (new_accs, new_waccs), 0
+                accs[b], cur + val, (0, ob[1], ob[0])))
+        return new_accs, 0
 
-    (accs, waccs), _ = jax.lax.scan(
-        body, (accs, waccs),
+    accs, _ = jax.lax.scan(
+        body, accs,
         (images, ks, rs, tls, seam_masks, seam_tls, gains, gain_grids,
          gain_rois))
 
-    bands = [accs[b] / (waccs[b][..., None] + WEIGHT_EPS)
+    bands = [accs[b][:3] / (accs[b][3:4] + WEIGHT_EPS)
              for b in range(n_bands + 1)]
     out = bands[-1]
     for b in range(n_bands - 1, -1, -1):
-        out = pyr_up(out, bands[b].shape[:2]) + bands[b]
+        out = pyr_up_mm(out, bands[b].shape[1:]) + bands[b]
     # uint8 result: 4x less device->host traffic through the tunnel.
-    out_u8 = jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
-    return out_u8, waccs[0] > WEIGHT_EPS
+    out_u8 = jnp.clip(jnp.round(jnp.transpose(out, (1, 2, 0))),
+                      0.0, 255.0).astype(jnp.uint8)
+    return out_u8, accs[0][3] > WEIGHT_EPS
 
 
 def _prep_gains(compensator, n: int, comp_corners, comp_sizes):
@@ -443,49 +444,49 @@ def _sharded_compose_fn(mesh, axis: str, proj_name: str, canvas_h: int,
         vs = canvas_tl[1] + jnp.arange(canvas_h, dtype=jnp.float32)
         uu, vv = jnp.meshgrid(us, vs)
 
-        def body(carry, inp):
-            accs, waccs = carry
+        def body(accs, inp):
             img, k, r, smask, stl, gain, ggrid, groi = inp
             warped, weight = _warp_gain_seam(
                 img, k, r, uu, vv, scale, smask, stl, seam_ratio,
                 gain, ggrid, groi, proj_bwd=proj_bwd,
                 gain_mode=gain_mode)
-            gauss = [warped]
-            wg = [weight]
+            # planar (4, h, w) + matmul pyramids — same formulation and
+            # rationale as _fused_compose_impl
+            x4 = jnp.concatenate(
+                [jnp.transpose(warped, (2, 0, 1)), weight[None]], axis=0)
+            gauss = [x4]
             for _ in range(n_bands):
-                gauss.append(pyr_down(gauss[-1]))
-                wg.append(pyr_down(wg[-1]))
-            new_accs, new_waccs = [], []
+                gauss.append(pyr_down_mm(gauss[-1]))
+            new_accs = []
             for b in range(n_bands + 1):
+                g = gauss[b]
                 if b < n_bands:
-                    lap = gauss[b] - pyr_up(gauss[b + 1],
-                                            gauss[b].shape[:2])
+                    lap = g - pyr_up_mm(gauss[b + 1],
+                                        (g.shape[1], g.shape[2]))
                 else:
-                    lap = gauss[b]
-                new_accs.append(accs[b] + lap * wg[b][..., None])
-                new_waccs.append(waccs[b] + wg[b])
-            return (new_accs, new_waccs), 0
+                    lap = g
+                w = g[3:4]
+                new_accs.append(
+                    accs[b] + jnp.concatenate([lap[:3] * w, w], axis=0))
+            return new_accs, 0
 
         # pvary: the zero accumulators become axis-varying once the body
         # mixes in axis_index-dependent warped content.
         accs = [jax.lax.pvary(jnp.zeros(
-            (canvas_h >> b, w_ext >> b, 3), jnp.float32), axis)
+            (4, canvas_h >> b, w_ext >> b), jnp.float32), axis)
             for b in range(n_bands + 1)]
-        waccs = [jax.lax.pvary(jnp.zeros(
-            (canvas_h >> b, w_ext >> b), jnp.float32), axis)
-            for b in range(n_bands + 1)]
-        (accs, waccs), _ = jax.lax.scan(
-            body, (accs, waccs),
+        accs, _ = jax.lax.scan(
+            body, accs,
             (images, ks, rs, smasks, stls, gains, gain_grids, gain_rois))
 
-        bands = [accs[b] / (waccs[b][..., None] + WEIGHT_EPS)
+        bands = [accs[b][:3] / (accs[b][3:4] + WEIGHT_EPS)
                  for b in range(n_bands + 1)]
         out = bands[-1]
         for b in range(n_bands - 1, -1, -1):
-            out = pyr_up(out, bands[b].shape[:2]) + bands[b]
-        out = out[:, margin:margin + w_local]
+            out = pyr_up_mm(out, bands[b].shape[1:]) + bands[b]
+        out = jnp.transpose(out[:, :, margin:margin + w_local], (1, 2, 0))
         out_u8 = jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
-        valid = waccs[0][:, margin:margin + w_local] > WEIGHT_EPS
+        valid = accs[0][3, :, margin:margin + w_local] > WEIGHT_EPS
         return out_u8, valid
 
     fn = shard_map(local_fn, mesh=mesh,

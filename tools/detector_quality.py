@@ -23,10 +23,16 @@ Run on CPU:  JAX_PLATFORMS=cpu python tools/detector_quality.py
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import cv2  # noqa: E402
 import jax  # noqa: E402
+
+# The env var alone does not stop the axon TPU plugin from initializing
+# (and touching the exclusive chip); the config must be forced before any
+# backend use (CLAUDE.md).
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
