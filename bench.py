@@ -36,7 +36,8 @@ import numpy as np
 NORTH_STAR = 30.0  # MP/s/chip (BASELINE.json)
 
 
-def _reproj_err_px(cameras, kept, k_true, rs_true, hw) -> float:
+def _reproj_err_px(cameras, kept, k_true, rs_true, hw,
+                   work_scale: float = 1.0) -> float:
     """Mean pairwise reprojection error (px) vs synthetic ground truth.
 
     For each adjacent kept pair (a, b): the estimated inter-image map
@@ -44,6 +45,12 @@ def _reproj_err_px(cameras, kept, k_true, rs_true, hw) -> float:
     pixel grid — gauge-invariant (wave-correct/BA global rotations cancel
     in relative maps), so no alignment step is needed."""
     kc = np.asarray(cameras.K(), np.float64)
+    # stitch() returns cameras at WORK scale (reference semantics,
+    # image_stitching.cpp:626-638); rescale K to full-res coordinates so
+    # the comparison against the full-res ground-truth K is valid.
+    if work_scale != 1.0:
+        kc = kc.copy()
+        kc[:, :2, :] /= work_scale
     rc = np.asarray(cameras.R, np.float64)
     h, w = hw
     gy, gx = np.meshgrid(np.linspace(0, h - 1, 8), np.linspace(0, w - 1, 8))
@@ -91,7 +98,9 @@ def _bench_e2e():
     run_dir = tempfile.mkdtemp(prefix="bench_run_")
     os.chdir(run_dir)
 
-    cfg = StitchConfig(num_features=1500, checkpoint_dir=run_dir)
+    work_mp = float(os.environ.get("BENCH_WORK_MP", "-1"))
+    cfg = StitchConfig(num_features=1500, checkpoint_dir=run_dir,
+                       work_megapix=work_mp)
 
     stitch(dirs[8], cfg, output="")  # warm-up compiles every stage
     # Two timed runs on distinct fresh-content capture sets (tunnel
@@ -106,8 +115,10 @@ def _bench_e2e():
     res = results[best]
 
     gt = np.load(os.path.join(dirs[best], "gt.npz"))
+    ws = (1.0 if work_mp < 0 else
+          min(1.0, float(np.sqrt(work_mp * 1e6 / (h * w)))))
     reproj = _reproj_err_px(res.cameras, res.kept_indices,
-                            gt["k"], gt["rs"], (h, w))
+                            gt["k"], gt["rs"], (h, w), work_scale=ws)
     mp = len(res.kept_indices) * h * w / 1e6
     value = mp / elapsed[best]
     print(f"# runs: " + ", ".join(f"s{s}={t:.2f}s"

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import contextlib
 import logging
+import os
 import time
 from typing import Dict, Optional
 
@@ -19,9 +20,23 @@ import jax
 
 logger = logging.getLogger("image_stitching_tpu")
 
-__all__ = ["logger", "stage_timer", "StageTimes"]
+__all__ = ["logger", "stage_timer", "StageTimes", "device_fence"]
 
 StageTimes = Dict[str, float]
+
+_FENCE = os.environ.get("STITCH_FENCE_TIMERS", "") not in ("", "0")
+
+
+def device_fence() -> None:
+    """True completion barrier: dispatch a trivial op and DOWNLOAD it.
+
+    `jax.block_until_ready` is not an honest barrier through the axon
+    tunnel (CLAUDE.md); the tunnel executes dispatches in order, so a
+    value download completes only after all previously dispatched device
+    work does — a global fence.  Costs one ~30ms sync; only for
+    profiling (STITCH_FENCE_TIMERS=1)."""
+    import jax.numpy as jnp
+    float(jnp.zeros((), jnp.float32) + 1.0)
 
 
 @contextlib.contextmanager
@@ -38,6 +53,11 @@ def stage_timer(name: str, times: Optional[StageTimes] = None,
         for v in box.values():
             try:
                 jax.block_until_ready(v)
+            except Exception:
+                pass
+        if _FENCE:
+            try:
+                device_fence()
             except Exception:
                 pass
         elapsed = time.perf_counter() - start
