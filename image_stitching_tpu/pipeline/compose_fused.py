@@ -143,15 +143,36 @@ def _warp_stack(images, ks, rs, scale, tls, *, proj_name: str, pad_h: int,
     return jax.vmap(one)(images, ks, rs, tls)
 
 
-def _warp_gain_seam(img, k, r, uu, vv, scale, smask, stl, seam_ratio,
+def _interp_matrix(coords, n_src: int):
+    """Dense 1-D bilinear interpolation matrix M (n_src, n_out).
+
+    M[i, j] = max(0, 1 - |coords[j] - i|): `src_2d @ M` (or `M.T @ src_2d`
+    along the other axis) reproduces `_bilinear_sample(src, coords,
+    fill=0)` exactly — out-of-range coords get all-zero columns, matching
+    the constant-zero fill.  Turns separable (axis-aligned) resamplings
+    into MXU matmuls instead of per-pixel gathers; measured 148 ms -> 0.3
+    ms for the compose seam sample at bench shapes
+    (tools/exp_sep_sample.py)."""
+    i = jnp.arange(n_src, dtype=jnp.float32)[:, None]
+    return jnp.maximum(0.0, 1.0 - jnp.abs(coords[None, :] - i))
+
+
+def _warp_gain_seam(img, k, r, us, vs, scale, smask, stl, seam_ratio,
                     gain, gain_grid, gain_roi, *, proj_bwd, gain_mode):
-    """Per-image compose sample at warped-canvas coords (uu, vv).
+    """Per-image compose sample on the warped-canvas grid us x vs (1-D).
 
     Backward warp (bilinear/BORDER_REFLECT) + warp-validity mask + exposure
     gain + seam-mask sampling via the warped-plane scale ratio.  Shared by
     the single-device fused scan body and the canvas-sharded local body so
-    both paths compose identically.  Returns (warped (..., 3), weight)."""
+    both paths compose identically.  Returns (warped (..., 3), weight).
+
+    The gain and seam samples take SEPARABLE coordinates (functions of u
+    alone / v alone on the regular canvas grid), so both are banded-matrix
+    products (`_interp_matrix`) on the MXU rather than gathers: 12 scalar
+    gathers/pixel -> 4, whole-compose sample 369 -> 101 ms at bench shapes
+    (tools/exp_sep_sample.py)."""
     hc, wc = img.shape[0], img.shape[1]
+    uu, vv = jnp.meshgrid(us, vs)
     sx, sy, valid = _backward_xy(proj_bwd, uu, vv, k, r, scale)
 
     # BORDER_REFLECT bilinear image sample.  Four scalar gathers, NOT
@@ -197,21 +218,30 @@ def _warp_gain_seam(img, k, r, uu, vv, scale, smask, stl, seam_ratio,
         # apply): grid coords (p_local + 0.5) * grid / roi_size - 0.5,
         # edge-clamped.  gain_grid = (gh_i, gw_i) of image i's own grid
         # inside the padded map; gain_roi = (x, y, w, h) of its ROI.
+        # Coordinates are separable in (u, v) -> two matmuls; clipping
+        # the coordinate vectors before building the matrices reproduces
+        # the edge clamp, and zero-weight columns never touch the pad
+        # region of the gain map.
         gh_i, gw_i = gain_grid[0], gain_grid[1]
-        gx_ = jnp.clip((uu - gain_roi[0] + 0.5) * gw_i / gain_roi[2] - 0.5,
+        gx_ = jnp.clip((us - gain_roi[0] + 0.5) * gw_i / gain_roi[2] - 0.5,
                        0.0, gw_i - 1.0)
-        gy_ = jnp.clip((vv - gain_roi[1] + 0.5) * gh_i / gain_roi[3] - 0.5,
+        gy_ = jnp.clip((vs - gain_roi[1] + 0.5) * gh_i / gain_roi[3] - 0.5,
                        0.0, gh_i - 1.0)
-        gval = _bilinear_sample(gain, gx_, gy_)
+        mv = _interp_matrix(gy_, gain.shape[0])
+        mu = _interp_matrix(gx_, gain.shape[1])
         if gain.ndim == 2:
-            gval = gval[..., None]
+            gval = (mv.T @ gain @ mu)[..., None]
+        else:
+            gval = jnp.einsum("yv,yxc,xu->vuc", mv, gain, mu)
         warped = warped * gval
 
     # Seam mask: sample the seam-scale mask at ratio-scaled warped
-    # coords (warped-plane coordinates are proportional to warp scale).
-    mx = uu * seam_ratio - stl[0]
-    my = vv * seam_ratio - stl[1]
-    sval = _bilinear_sample(smask, mx, my)
+    # coords (warped-plane coordinates are proportional to warp scale;
+    # the map is axis-aligned, so this too is a pair of matmuls).
+    mx = us * seam_ratio - stl[0]
+    my = vs * seam_ratio - stl[1]
+    sval = (_interp_matrix(my, smask.shape[0]).T @ smask
+            @ _interp_matrix(mx, smask.shape[1]))
     weight = jnp.where((sval > 0.5) & wmask, 1.0, 0.0)
     return warped, weight
 
@@ -260,9 +290,8 @@ def _fused_compose_impl(images, ks, rs, scale, tls, canvas_tl,
         img, k, r, tl, smask, stl, gain, ggrid, groi = inp
         us = tl[0] + jnp.arange(pad_w, dtype=jnp.float32)
         vs = tl[1] + jnp.arange(pad_h, dtype=jnp.float32)
-        uu, vv = jnp.meshgrid(us, vs)
         warped, weight = _warp_gain_seam(
-            img, k, r, uu, vv, scale, smask, stl, seam_ratio,
+            img, k, r, us, vs, scale, smask, stl, seam_ratio,
             gain, ggrid, groi, proj_bwd=proj_bwd,
             gain_mode=gain_mode)
 
@@ -442,12 +471,11 @@ def _sharded_compose_fn(mesh, axis: str, proj_name: str, canvas_h: int,
         x0 = canvas_tl[0] + (sidx * w_local - margin).astype(jnp.float32)
         us = x0 + jnp.arange(w_ext, dtype=jnp.float32)
         vs = canvas_tl[1] + jnp.arange(canvas_h, dtype=jnp.float32)
-        uu, vv = jnp.meshgrid(us, vs)
 
         def body(accs, inp):
             img, k, r, smask, stl, gain, ggrid, groi = inp
             warped, weight = _warp_gain_seam(
-                img, k, r, uu, vv, scale, smask, stl, seam_ratio,
+                img, k, r, us, vs, scale, smask, stl, seam_ratio,
                 gain, ggrid, groi, proj_bwd=proj_bwd,
                 gain_mode=gain_mode)
             # planar (4, h, w) + matmul pyramids — same formulation and

@@ -234,9 +234,8 @@ def fullG(images, ks, rs, scale, tls, smask, stls, sr, gains, ggrids, grois):
     def body(inp):
         img, k, r, tl, sm, stl, g, gg, gr = inp
         us, vs = _coords(tl)
-        uu, vv = jnp.meshgrid(us, vs)
         warped, weight = _warp_gain_seam(
-            img, k, r, uu, vv, scale, sm, stl, sr, g, gg, gr,
+            img, k, r, us, vs, scale, sm, stl, sr, g, gg, gr,
             proj_bwd=proj_bwd, gain_mode="blocks")
         return warped.sum() + weight.sum()
     return _scan(body, (images, ks, rs, tls, smask, stls, gains,

@@ -77,8 +77,9 @@ def _rect_coords(tl):
 
 
 def _wgs(img, k, r, scale, tl, smask, stl, sr, gain, ggrid, groi):
-    uu, vv = _rect_coords(tl)
-    return _warp_gain_seam(img, k, r, uu, vv, scale, smask, stl, sr,
+    us = tl[0] + jnp.arange(PW, dtype=jnp.float32)
+    vs = tl[1] + jnp.arange(PH, dtype=jnp.float32)
+    return _warp_gain_seam(img, k, r, us, vs, scale, smask, stl, sr,
                            gain, ggrid, groi, proj_bwd=proj_bwd,
                            gain_mode="blocks")
 
