@@ -124,6 +124,9 @@ def _warp_stack(images, ks, rs, scale, tls, *, proj_name: str, pad_h: int,
     """
     proj_bwd = PROJECTIONS[proj_name][1]
     hc, wc = images.shape[1], images.shape[2]
+    # Accept the device-resident u8 seam stack directly (avoids a ~10 MB
+    # host->device f32 re-upload through the tunnel per stitch).
+    images = images.astype(jnp.float32)
 
     def one(img, k, r, tl):
         us = tl[0] + jnp.arange(pad_w, dtype=jnp.float32)
@@ -363,10 +366,11 @@ def _prep_seam_masks(seam_masks, n: int):
     dilate at image_stitching.cpp:1169)."""
     sh_pad = max(m.shape[0] for m in seam_masks)
     sw_pad = max(m.shape[1] for m in seam_masks)
-    smask = np.zeros((n, sh_pad, sw_pad), np.float32)
+    # Upload u8, cast on device: 4x fewer tunnel bytes than f32.
+    smask = np.zeros((n, sh_pad, sw_pad), np.uint8)
     for i, m in enumerate(seam_masks):
         smask[i, :m.shape[0], :m.shape[1]] = (np.asarray(m) > 0)
-    return dilate3(jnp.asarray(smask)), sh_pad, sw_pad
+    return dilate3(jnp.asarray(smask).astype(jnp.float32)), sh_pad, sw_pad
 
 
 def fused_compose(images: jnp.ndarray, ks: np.ndarray, rs: np.ndarray,

@@ -204,6 +204,7 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
     n = len(paths)
     uniform = len(set(full_sizes)) == 1
     seam_imgs = []
+    seam_stack_dev = None  # device-resident u8 seam stack (fast path)
     feats: List[Features] = []
     fstack: Optional[Features] = None
     with stage_timer("Finding features", times):
@@ -227,6 +228,7 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
                         detect_features(gray_work[i], cfg)
                         for i in range(n)])
             stack_u8 = rgb_oriented
+            seam_stack_dev = seam_stack
             seam_np = np.asarray(seam_stack)
             seam_imgs = [seam_np[i] for i in range(n)]
             if want_feats and logger.isEnabledFor(20):
@@ -395,6 +397,9 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
     seam_imgs = [seam_imgs[i] for i in indices]
     if stack_u8 is not None and len(indices) != stack_u8.shape[0]:
         stack_u8 = stack_u8[np.asarray(indices)]
+    if (seam_stack_dev is not None
+            and len(indices) != seam_stack_dev.shape[0]):
+        seam_stack_dev = seam_stack_dev[np.asarray(indices)]
     n = len(paths)
 
     # ---- seam-scale warping (:884-995) ----
@@ -418,8 +423,12 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
         if uniform:
             # One vmapped warp over padded per-image rects; 2 downloads.
             from .compose_fused import _warp_stack
+            # Reuse the device-resident u8 seam stack when available —
+            # re-uploading it as f32 costs ~10 MB (~0.3 s) of tunnel time.
+            seam_src = (seam_stack_dev if seam_stack_dev is not None
+                        else jnp.asarray(np.stack(seam_imgs), jnp.float32))
             images_warped_pad, masks_warped_pad = _warp_stack(
-                jnp.asarray(np.stack(seam_imgs), jnp.float32),
+                seam_src,
                 jnp.asarray(k_seam), jnp.asarray(r_all),
                 jnp.float32(warper.scale),
                 jnp.asarray(np.asarray([[r[0], r[1]] for r in rois],
