@@ -49,6 +49,22 @@ def pick_denom(scale_needed: float) -> int:
     return 1
 
 
+# Row-delta-encode uploads (exact mod-256 roundtrip).  The axon tunnel
+# LZ-compresses transfers (tools/exp_upload_compress.py: natural u8
+# 39.5 MB/s, its row-delta 53.4 MB/s, all-zeros ~105 MB/s), and decoded
+# JPEGs are smoother than that synthetic probe, so shipping the
+# horizontal gradient cuts the dominant full-res gray upload.  The
+# device inverts with a wrapping u8 associative scan.
+_DELTA_UPLOAD = os.environ.get("STITCH_NO_DELTA_UPLOAD", "") in ("", "0")
+
+
+def _row_delta(x: np.ndarray) -> np.ndarray:
+    """Wrapping horizontal difference along W (axis 1 of (H, W[, C]))."""
+    d = x.copy()
+    d[:, 1:] = d[:, 1:] - x[:, :-1]  # uint8 wraps mod 256
+    return d
+
+
 @dataclasses.dataclass
 class FastIngest:
     session: "native.DecodeSession"
@@ -58,19 +74,22 @@ class FastIngest:
     gray_denom: int
     rgb_denom: int
     full_sizes: List[Tuple[int, int]]  # oriented (w, h) per image
+    delta: bool = _DELTA_UPLOAD  # stacks are row-delta-encoded on device
 
     def upload(self):
         """Wait for decodes in order and queue device uploads back-to-back
         (all uploads first, dispatch later: uploads serialize with device
         compute through the tunnel).  Returns (gray_stack | None,
-        rgb_stack) as device arrays at DECODE scale, unoriented."""
+        rgb_stack) as device arrays at DECODE scale, unoriented — row-
+        delta-encoded when self.delta (fast_prep inverts on device)."""
+        enc = _row_delta if self.delta else (lambda x: x)
         grays, rgbs = [], []
         item = 0
         for _ in range(self.n):
             if self.want_gray:
-                grays.append(jax.device_put(self.session.wait(item)))
+                grays.append(jax.device_put(enc(self.session.wait(item))))
                 item += 1
-            rgbs.append(jax.device_put(self.session.wait(item)))
+            rgbs.append(jax.device_put(enc(self.session.wait(item))))
             item += 1
         self.session.finish()
         gray_stack = jnp.stack(grays) if grays else None
@@ -137,11 +156,18 @@ def _orient_stack(x: jnp.ndarray, is_portrait: bool) -> jnp.ndarray:
 
 @functools.partial(jax.jit,
                    static_argnames=("is_portrait", "work_hw", "seam_hw",
-                                    "gray_mode"))
+                                    "gray_mode", "delta"))
 def _fast_prep_impl(gray_stack, rgb_stack, *, is_portrait: bool,
                     work_hw: Tuple[int, int], seam_hw: Tuple[int, int],
-                    gray_mode: str):
+                    gray_mode: str, delta: bool = False):
     from ..ops.imgproc import rgb_to_gray
+    if delta:
+        # Invert the upload row-delta: wrapping u8 prefix sum along W
+        # (axis 2 of both (N, H, W) gray and (N, H, W, 3) rgb).
+        rgb_stack = jax.lax.associative_scan(jnp.add, rgb_stack, axis=2)
+        if gray_mode == "luma":
+            gray_stack = jax.lax.associative_scan(jnp.add, gray_stack,
+                                                  axis=2)
     rgb_o = _orient_stack(rgb_stack, is_portrait)
     seam = jax.vmap(lambda im: jnp.clip(
         jnp.round(resize(im, seam_hw)), 0, 255).astype(jnp.uint8))(rgb_o)
@@ -180,4 +206,4 @@ def fast_prep(fi: FastIngest, gray_stack, rgb_stack, is_portrait: bool,
     return _fast_prep_impl(
         gray_stack if gray_stack is not None else jnp.zeros((1, 1, 1)),
         rgb_stack, is_portrait=is_portrait, work_hw=work_hw,
-        seam_hw=seam_hw, gray_mode=gray_mode)
+        seam_hw=seam_hw, gray_mode=gray_mode, delta=fi.delta)

@@ -48,6 +48,26 @@ def randu8(seed):
         0, 256, SHAPE, dtype=np.uint8)
 
 
+def natural_delta(seed):
+    """Row-delta (mod 256) of the natural field: if the tunnel's LZ likes
+    it better, gray uploads could ship delta-encoded and un-delta on
+    device with a wrapping u8 cumsum."""
+    x = natural(seed)
+    d = x.copy()
+    d[:, 1:] = x[:, 1:] - x[:, :-1]  # u8 wraps mod 256
+    return d
+
+
+def natural_jpeg_like(seed):
+    """Decoded-JPEG-like field: natural() is synthetic; real decodes are
+    blockwise-smooth.  Quantize 8x8 DCT-ish by box-averaging then adding
+    back small detail, to bound how much smoothness helps."""
+    x = natural(seed).astype(np.float32)
+    blk = x.reshape(MB, -1, 8).mean(axis=2, keepdims=True)
+    y = np.clip(np.repeat(blk, 8, axis=2).reshape(SHAPE), 0, 255)
+    return y.astype(np.uint8)
+
+
 @jax.jit
 def consume(x):
     return jnp.float32(x[0, 0]) + jnp.float32(x[-1, -1])
@@ -69,9 +89,11 @@ def measure(make, reps=3):
 
 def main():
     print("platform:", jax.devices()[0].platform, flush=True)
-    for name, make in [("random u8 ", randu8),
-                       ("natural u8", natural),
-                       ("zeros u8  ", zeros)]:
+    for name, make in [("random u8   ", randu8),
+                       ("natural u8  ", natural),
+                       ("nat row-delta", natural_delta),
+                       ("blocky (jpeg)", natural_jpeg_like),
+                       ("zeros u8    ", zeros)]:
         rate, _ = measure(make)
         print(f"{name}: {rate:8.1f} MB/s", flush=True)
 
