@@ -51,11 +51,15 @@ def pick_denom(scale_needed: float) -> int:
 
 # Row-delta-encode uploads (exact mod-256 roundtrip).  The axon tunnel
 # LZ-compresses transfers (tools/exp_upload_compress.py: natural u8
-# 39.5 MB/s, its row-delta 53.4 MB/s, all-zeros ~105 MB/s), and decoded
-# JPEGs are smoother than that synthetic probe, so shipping the
-# horizontal gradient cuts the dominant full-res gray upload.  The
-# device inverts with a wrapping u8 associative scan.
-_DELTA_UPLOAD = os.environ.get("STITCH_NO_DELTA_UPLOAD", "") in ("", "0")
+# 39.5 MB/s, its row-delta 53.4 MB/s, all-zeros ~105 MB/s), suggesting
+# shipping the horizontal gradient should cut the dominant full-res
+# gray upload.  MEASURED NEGATIVE end-to-end on the 1-core dev host:
+# the numpy delta pass runs on the Python upload thread, competing with
+# the C++ decode threads for the single core and delaying each upload —
+# Reading 1.38 -> 2.12 s, e2e 17.0 -> 12.6 MP/s.  Default OFF; opt in
+# with STITCH_DELTA_UPLOAD=1 (worth revisiting if the encode moves into
+# the native decoder or the host gains cores).
+_DELTA_UPLOAD = os.environ.get("STITCH_DELTA_UPLOAD", "") not in ("", "0")
 
 
 def _row_delta(x: np.ndarray) -> np.ndarray:
