@@ -62,7 +62,7 @@ if lib is not None:
     lib.sr_read_jpeg_opts.argtypes = [c_char_p, u8_p, ctypes.c_int64,
                                       ctypes.POINTER(c_int),
                                       ctypes.POINTER(c_int), c_int, c_int]
-    lib.sr_decode_start.argtypes = [c_char_p, c_int, i32_p, i32_p,
+    lib.sr_decode_start.argtypes = [c_char_p, c_int, i32_p, i32_p, i32_p,
                                     ctypes.POINTER(ctypes.c_void_p),
                                     np.ctypeslib.ndpointer(
                                         np.int64, flags="C_CONTIGUOUS"),
@@ -169,7 +169,11 @@ class DecodeSession:
     """
 
     def __init__(self, items: Sequence[Tuple[str, bool, int]],
-                 nthreads: int = 2):
+                 nthreads: int = 2, delta: bool = False):
+        """delta=True: each decoded buffer is row-delta-encoded (wrapping
+        mod-256 horizontal difference) in place on the worker thread —
+        for LZ-compressed transports; invert with a wrapping u8 prefix
+        sum along the row axis."""
         assert lib is not None
         n = len(items)
         self._arrays: List[np.ndarray] = []
@@ -193,9 +197,10 @@ class DecodeSession:
         self._ws = np.zeros(n, np.int32)
         self._hs = np.zeros(n, np.int32)
         self._rcs = np.zeros(n, np.int32)
+        deltas = np.full(n, 1 if delta else 0, np.int32)
         self._handle = lib.sr_decode_start(
-            "\n".join(paths).encode(), n, grays, denoms, ptrs, caps,
-            self._ws, self._hs, self._rcs, nthreads)
+            "\n".join(paths).encode(), n, grays, denoms, deltas, ptrs,
+            caps, self._ws, self._hs, self._rcs, nthreads)
         self._finished = False
 
     def wait(self, i: int) -> np.ndarray:

@@ -51,19 +51,21 @@ def pick_denom(scale_needed: float) -> int:
 
 # Row-delta-encode uploads (exact mod-256 roundtrip).  The axon tunnel
 # LZ-compresses transfers (tools/exp_upload_compress.py: natural u8
-# 39.5 MB/s, its row-delta 53.4 MB/s, all-zeros ~105 MB/s), suggesting
-# shipping the horizontal gradient should cut the dominant full-res
-# gray upload.  MEASURED NEGATIVE end-to-end on the 1-core dev host:
-# the numpy delta pass runs on the Python upload thread, competing with
-# the C++ decode threads for the single core and delaying each upload —
-# Reading 1.38 -> 2.12 s, e2e 17.0 -> 12.6 MP/s.  Default OFF; opt in
-# with STITCH_DELTA_UPLOAD=1 (worth revisiting if the encode moves into
-# the native decoder or the host gains cores).
-_DELTA_UPLOAD = os.environ.get("STITCH_DELTA_UPLOAD", "") not in ("", "0")
+# 39.5 MB/s, its row-delta 53.4 MB/s, all-zeros ~105 MB/s), so shipping
+# the horizontal gradient cuts the dominant full-res gray upload.  The
+# encode lives in the NATIVE decoder's worker threads (delta_rows in
+# native/stitch_runtime.cpp): doing it with numpy on the Python upload
+# thread measured NEGATIVE (Reading 1.38 -> 2.12 s, e2e 17.0 -> 12.6
+# MP/s on the 1-core host — it competed with the decode threads for the
+# core and delayed every upload).  STITCH_NO_DELTA_UPLOAD=1 disables.
+_DELTA_UPLOAD = os.environ.get("STITCH_NO_DELTA_UPLOAD", "") in ("", "0")
 
 
 def _row_delta(x: np.ndarray) -> np.ndarray:
-    """Wrapping horizontal difference along W (axis 1 of (H, W[, C]))."""
+    """Wrapping horizontal difference along W (axis 1 of (H, W[, C])).
+
+    Reference implementation of the native delta_rows encode — used by
+    tests to validate the device-side inversion."""
     d = x.copy()
     d[:, 1:] = d[:, 1:] - x[:, :-1]  # uint8 wraps mod 256
     return d
@@ -78,22 +80,22 @@ class FastIngest:
     gray_denom: int
     rgb_denom: int
     full_sizes: List[Tuple[int, int]]  # oriented (w, h) per image
-    delta: bool = _DELTA_UPLOAD  # stacks are row-delta-encoded on device
+    delta: bool = False  # stacks arrive row-delta-encoded (native encode)
 
     def upload(self):
         """Wait for decodes in order and queue device uploads back-to-back
         (all uploads first, dispatch later: uploads serialize with device
         compute through the tunnel).  Returns (gray_stack | None,
         rgb_stack) as device arrays at DECODE scale, unoriented — row-
-        delta-encoded when self.delta (fast_prep inverts on device)."""
-        enc = _row_delta if self.delta else (lambda x: x)
+        delta-encoded by the native decode threads when self.delta
+        (fast_prep inverts on device)."""
         grays, rgbs = [], []
         item = 0
         for _ in range(self.n):
             if self.want_gray:
-                grays.append(jax.device_put(enc(self.session.wait(item))))
+                grays.append(jax.device_put(self.session.wait(item)))
                 item += 1
-            rgbs.append(jax.device_put(enc(self.session.wait(item))))
+            rgbs.append(jax.device_put(self.session.wait(item)))
             item += 1
         self.session.finish()
         gray_stack = jnp.stack(grays) if grays else None
@@ -141,13 +143,15 @@ def start_fast_ingest(paths: Sequence[str], is_portrait: bool,
             items.append((p, True, gray_denom))
         items.append((p, False, rgb_denom))
     try:
-        session = native.DecodeSession(items, nthreads=nthreads)
+        session = native.DecodeSession(items, nthreads=nthreads,
+                                       delta=_DELTA_UPLOAD)
     except OSError:
         return None
     return FastIngest(session=session, n=len(paths),
                       want_gray=decode_gray, gray_from_rgb=gray_from_rgb,
                       gray_denom=gray_denom, rgb_denom=rgb_denom,
-                      full_sizes=[full] * len(paths))
+                      full_sizes=[full] * len(paths),
+                      delta=_DELTA_UPLOAD)
 
 
 def _orient_stack(x: jnp.ndarray, is_portrait: bool) -> jnp.ndarray:

@@ -358,9 +358,25 @@ int sr_read_images(const char* joined_paths, int n, uint8_t* out,
 // core, because uploads are IO-bound waits that yield the CPU.
 // ---------------------------------------------------------------------------
 
+// In-place wrapping horizontal difference (mod 256) of an interleaved
+// row-major image: buf[y, x, c] -= buf[y, x-1, c].  The device inverts
+// with a wrapping u8 prefix sum along x.  Shipped because the TPU
+// tunnel LZ-compresses uploads and gradients of decoded JPEGs compress
+// substantially better than raw pixels (tools/exp_upload_compress.py).
+// Runs on the decode worker threads (GIL released) where it is ~free.
+static void delta_rows(uint8_t* buf, int w, int h, int ncomp) {
+    for (int y = 0; y < h; ++y) {
+        uint8_t* row = buf + size_t(y) * w * ncomp;
+        for (int x = w - 1; x >= 1; --x)
+            for (int c = 0; c < ncomp; ++c)
+                row[x * ncomp + c] =
+                    uint8_t(row[x * ncomp + c] - row[(x - 1) * ncomp + c]);
+    }
+}
+
 struct DecodeSession {
     std::vector<std::string> paths;
-    std::vector<int> gray, denom;
+    std::vector<int> gray, denom, delta;
     std::vector<uint8_t*> outs;
     std::vector<int64_t> caps;
     int* ws;
@@ -392,6 +408,8 @@ static void decode_one(DecodeSession* s, int i) {
     } else {
         rc = -4;  // options unsupported for this codec
     }
+    if (rc == 0 && s->delta[i])
+        delta_rows(s->outs[i], s->ws[i], s->hs[i], s->gray[i] ? 1 : 3);
     s->rcs[i] = rc;
     {
         std::lock_guard<std::mutex> lk(s->mu);
@@ -404,7 +422,8 @@ static void decode_one(DecodeSession* s, int i) {
 // hold caps[i] bytes; ws/hs/rcs are n-element result arrays owned by the
 // caller (valid until sr_decode_finish).  Returns an opaque handle.
 void* sr_decode_start(const char* joined_paths, int n, const int* gray,
-                      const int* denom, uint8_t* const* outs,
+                      const int* denom, const int* delta,
+                      uint8_t* const* outs,
                       const int64_t* caps, int* ws, int* hs, int* rcs,
                       int nthreads) {
     auto* s = new DecodeSession(n);
@@ -417,6 +436,7 @@ void* sr_decode_start(const char* joined_paths, int n, const int* gray,
     }
     s->gray.assign(gray, gray + n);
     s->denom.assign(denom, denom + n);
+    s->delta.assign(delta, delta + n);
     s->outs.assign(outs, outs + n);
     s->caps.assign(caps, caps + n);
     s->ws = ws;

@@ -148,3 +148,24 @@ def test_decode_session_orders_and_matches(tmp_path, rng):
         assert np.array_equal(g, native.read_image_opts(p, gray=True))
         assert np.array_equal(q, native.read_image_opts(p, denom=2))
     s.finish()
+
+
+def test_decode_session_delta_encode_roundtrip(tmp_path, rng):
+    """Native delta_rows == numpy wrapping row-diff; exact mod-256
+    inversion with a u8 prefix sum (the device-side decode)."""
+    from image_stitching_tpu.pipeline.ingest import _row_delta
+    img = rng.integers(0, 255, (45, 70, 3), dtype=np.uint8)
+    p = str(tmp_path / "d.jpg")
+    Image.fromarray(img).save(p, quality=95)
+    items = [(p, True, 1), (p, False, 1)]
+    plain = native.DecodeSession(items, nthreads=1)
+    ref_g, ref_c = plain.wait(0).copy(), plain.wait(1).copy()
+    plain.finish()
+    enc = native.DecodeSession(items, nthreads=1, delta=True)
+    got_g, got_c = enc.wait(0), enc.wait(1)
+    assert np.array_equal(got_g, _row_delta(ref_g))
+    assert np.array_equal(got_c, _row_delta(ref_c))
+    # invert: wrapping cumulative sum along the row axis
+    for got, ref in ((got_g, ref_g), (got_c, ref_c)):
+        dec = np.cumsum(got.astype(np.uint64), axis=1).astype(np.uint8)
+        assert np.array_equal(dec, ref)
