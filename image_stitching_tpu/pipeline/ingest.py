@@ -49,16 +49,20 @@ def pick_denom(scale_needed: float) -> int:
     return 1
 
 
-# Row-delta-encode uploads (exact mod-256 roundtrip).  The axon tunnel
-# LZ-compresses transfers (tools/exp_upload_compress.py: natural u8
-# 39.5 MB/s, its row-delta 53.4 MB/s, all-zeros ~105 MB/s), so shipping
-# the horizontal gradient cuts the dominant full-res gray upload.  The
-# encode lives in the NATIVE decoder's worker threads (delta_rows in
-# native/stitch_runtime.cpp): doing it with numpy on the Python upload
-# thread measured NEGATIVE (Reading 1.38 -> 2.12 s, e2e 17.0 -> 12.6
-# MP/s on the 1-core host — it competed with the decode threads for the
-# core and delayed every upload).  STITCH_NO_DELTA_UPLOAD=1 disables.
-_DELTA_UPLOAD = os.environ.get("STITCH_NO_DELTA_UPLOAD", "") in ("", "0")
+# Row-delta-encode uploads (exact mod-256 roundtrip; native delta_rows
+# encode on the decode threads, wrapping u8 prefix-sum inversion on
+# device).  Default OFF after two measured NEGATIVE results on the axon
+# tunnel: (a) a numpy encode on the Python upload thread competed with
+# the decode threads for the single core (Reading 1.38 -> 2.12 s); (b)
+# even encoded for free on the native decode threads, the delta of real
+# captures uploads SLOWER than raw (Reading 1.16 -> 2.09 s, e2e 15-17
+# -> 12.8 MP/s): decoded JPEGs keep their sensor noise, so the
+# horizontal gradient is noise-dominated and the tunnel LZ compresses
+# it worse than the raw pixels' smooth runs.  The synthetic probe that
+# motivated it (tools/exp_upload_compress.py: row-delta 53.4 vs natural
+# 39.5 MB/s) was smoother than real content.  Opt in with
+# STITCH_DELTA_UPLOAD=1 for low-noise sources.
+_DELTA_UPLOAD = os.environ.get("STITCH_DELTA_UPLOAD", "") not in ("", "0")
 
 
 def _row_delta(x: np.ndarray) -> np.ndarray:
