@@ -93,43 +93,71 @@ def _grad(img: jnp.ndarray):
 
 
 @functools.partial(jax.jit, static_argnames=("radius",))
-def _dominant_orientation(gx, gy, xy, radius: int):
-    """36-bin histogram peak in a (2r+1)^2 window per keypoint."""
+def _dominant_orientation(gx, gy, lvl, xy, radius: int):
+    """36-bin histogram peak in a (2r+1)^2 window per keypoint.
+
+    gx/gy: (L, H, W) gradient stacks of the gaussian levels; lvl (K,)
+    selects each keypoint's own scale level (true SIFT samples the
+    gaussian layer nearest the keypoint sigma, not a fixed one).  The
+    histogram is circularly smoothed ([1,4,6,4,1]/16, the binomial
+    OpenCV applies) and the peak is refined by parabolic interpolation.
+    """
     ys, xs = np.mgrid[-radius:radius + 1, -radius:radius + 1]
     offs = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1))
     wgt = jnp.asarray(np.exp(-(xs ** 2 + ys ** 2) /
                              (2 * (radius / 1.5) ** 2)).ravel().astype(
         np.float32))
-    h, w = gx.shape
     pad = radius + 1
-    gxp = jnp.pad(gx, pad)
-    gyp = jnp.pad(gy, pad)
+    gxp = jnp.pad(gx, ((0, 0), (pad, pad), (pad, pad)))
+    gyp = jnp.pad(gy, ((0, 0), (pad, pad), (pad, pad)))
     pts = jnp.round(xy).astype(jnp.int32) + pad
     sy = pts[:, None, 1] + offs[None, :, 1]
     sx = pts[:, None, 0] + offs[None, :, 0]
-    gxs = gxp[sy, sx]
-    gys = gyp[sy, sx]
+    sl = lvl[:, None].astype(jnp.int32)
+    gxs = gxp[sl, sy, sx]
+    gys = gyp[sl, sy, sx]
     mag = jnp.sqrt(gxs ** 2 + gys ** 2) * wgt[None]
     ang = jnp.arctan2(gys, gxs)                     # (-pi, pi]
-    bins = jnp.floor((ang + jnp.pi) / (2 * jnp.pi) * 36).astype(jnp.int32)
-    bins = jnp.clip(bins, 0, 35)
-    hist = jax.vmap(lambda b, m: jnp.zeros(36).at[b].add(m))(bins, mag)
+    # Soft-assign each sample between its two nearest bins.
+    fbin = (ang + jnp.pi) / (2 * jnp.pi) * 36.0 - 0.5
+    b0 = jnp.floor(fbin).astype(jnp.int32)
+    f = fbin - b0
+    b0 = jnp.mod(b0, 36)
+    b1 = jnp.mod(b0 + 1, 36)
+    hist = jax.vmap(lambda i0, i1, ff, m: jnp.zeros(36)
+                    .at[i0].add(m * (1 - ff)).at[i1].add(m * ff))(
+        b0, b1, f, mag)
+    kern = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+    idx = (jnp.arange(36)[:, None] + jnp.arange(-2, 3)[None, :]) % 36
+    hist = (hist[:, idx] * kern[None, None, :]).sum(-1)
     peak = jnp.argmax(hist, axis=1)
-    return (peak.astype(jnp.float32) + 0.5) / 36.0 * 2 * jnp.pi - jnp.pi
+    hl = jnp.take_along_axis(hist, ((peak - 1) % 36)[:, None], 1)[:, 0]
+    hc = jnp.take_along_axis(hist, peak[:, None], 1)[:, 0]
+    hr = jnp.take_along_axis(hist, ((peak + 1) % 36)[:, None], 1)[:, 0]
+    denom = hl - 2 * hc + hr
+    delta = jnp.where(jnp.abs(denom) > 1e-6,
+                      0.5 * (hl - hr) / jnp.where(
+                          jnp.abs(denom) > 1e-6, denom, 1.0), 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    pk = peak.astype(jnp.float32) + delta
+    return (pk + 0.5) / 36.0 * 2 * jnp.pi - jnp.pi
 
 
 @functools.partial(jax.jit, static_argnames=("width",))
-def _sift_descriptor(gx, gy, xy, angle, width: int = 8):
-    """4x4x8 descriptor from a (4*width)^2 rotated window."""
+def _sift_descriptor(gx, gy, lvl, xy, angle, width: int = 8):
+    """4x4x8 descriptor from a (4*width)^2 rotated window.
+
+    gx/gy: (L, H, W) per-level gradient stacks, indexed by each
+    keypoint's scale level.  Orientation is soft-assigned between the
+    two nearest of the 8 bins (hard spatial cells; the dominant
+    quality lever vs the previous nearest-bin scatter)."""
     half = 2 * width
     ys, xs = np.mgrid[-half:half, -half:half] + 0.5
     offs = np.stack([xs.ravel(), ys.ravel()], -1).astype(np.float32)
     offs_j = jnp.asarray(offs)
-    n_samp = offs.shape[0]
-    h, w = gx.shape
     pad = int(half * 1.5) + 2
-    gxp = jnp.pad(gx, pad)
-    gyp = jnp.pad(gy, pad)
+    gxp = jnp.pad(gx, ((0, 0), (pad, pad), (pad, pad)))
+    gyp = jnp.pad(gy, ((0, 0), (pad, pad), (pad, pad)))
 
     ca, sa = jnp.cos(angle), jnp.sin(angle)         # (K,)
     rx = ca[:, None] * offs_j[None, :, 0] - sa[:, None] * offs_j[None, :, 1]
@@ -138,22 +166,32 @@ def _sift_descriptor(gx, gy, xy, angle, width: int = 8):
     syf = xy[:, 1:2] + ry
     sxi = jnp.round(sxf).astype(jnp.int32) + pad
     syi = jnp.round(syf).astype(jnp.int32) + pad
-    gxs = gxp[syi, sxi]
-    gys = gyp[syi, sxi]
+    sl = lvl[:, None].astype(jnp.int32)
+    gxs = gxp[sl, syi, sxi]
+    gys = gyp[sl, syi, sxi]
     mag = jnp.sqrt(gxs ** 2 + gys ** 2)
+    # Gaussian weighting over the window (sigma = half the window),
+    # as in Lowe's descriptor.
+    wgt = jnp.asarray(np.exp(-(offs[:, 0] ** 2 + offs[:, 1] ** 2) /
+                             (2 * half * half)).astype(np.float32))
+    mag = mag * wgt[None, :]
     ang = jnp.arctan2(gys, gxs) - angle[:, None]
-    obin = jnp.floor(jnp.mod(ang + 2 * jnp.pi, 2 * jnp.pi) /
-                     (2 * jnp.pi) * 8).astype(jnp.int32)
-    obin = jnp.clip(obin, 0, 7)
+    fob = jnp.mod(ang + 2 * jnp.pi, 2 * jnp.pi) / (2 * jnp.pi) * 8.0 - 0.5
+    ob0 = jnp.floor(fob).astype(jnp.int32)
+    of = fob - ob0
+    ob0 = jnp.mod(ob0, 8)
+    ob1 = jnp.mod(ob0 + 1, 8)
     # Spatial cell index per sample (static).
     cell_x = np.clip(((offs[:, 0] + half) // width).astype(np.int64), 0, 3)
     cell_y = np.clip(((offs[:, 1] + half) // width).astype(np.int64), 0, 3)
     cell = jnp.asarray(cell_y * 4 + cell_x, jnp.int32)     # (S,)
-    flat_bin = cell[None, :] * 8 + obin                     # (K, S)
+    bin0 = cell[None, :] * 8 + ob0                          # (K, S)
+    bin1 = cell[None, :] * 8 + ob1
 
-    def scatter(bins, mags):
-        return jnp.zeros(128).at[bins].add(mags)
-    desc = jax.vmap(scatter)(flat_bin, mag)
+    def scatter(b0, b1, ff, mags):
+        return (jnp.zeros(128).at[b0].add(mags * (1 - ff))
+                .at[b1].add(mags * ff))
+    desc = jax.vmap(scatter)(bin0, bin1, of, mag)
     desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=1, keepdims=True),
                               1e-6)
     desc = jnp.minimum(desc, 0.2)
@@ -167,8 +205,12 @@ def _sift_descriptor(gx, gy, xy, angle, width: int = 8):
 def _sift_impl(gray, *, n_features: int, n_octaves: int,
                base_hw: Tuple[int, int]) -> Features:
     h, w = base_hw
-    per_oct = [n_features // max(n_octaves, 1)] * n_octaves
-    per_oct[0] += n_features - sum(per_oct)
+    # Every octave gets the FULL keypoint budget as candidate slots and a
+    # global top-K (by |DoG| response) selects across octaves afterwards.
+    # Fixed per-octave quotas left empty slots whenever one octave was
+    # starved while another overflowed — measured 284/500 keypoints on
+    # the synthetic captures (NOTES_r02).
+    per_oct = [n_features] * n_octaves
     outs = []
     img = gray.astype(jnp.float32)
     for o in range(n_octaves):
@@ -188,9 +230,16 @@ def _sift_impl(gray, *, n_features: int, n_octaves: int,
             ky = (rem // ow).astype(jnp.float32)
             kx = (rem % ow).astype(jnp.float32)
             xy = jnp.stack([kx, ky], -1)
-            gx, gy = _grad(gauss[1])
-            angle = _dominant_orientation(gx, gy, xy, 8)
-            desc = _sift_descriptor(gx, gy, xy, angle)
+            # Per-level gradients: the orientation/descriptor sample the
+            # gaussian layer of each keypoint's own DoG scale (true SIFT
+            # semantics; a fixed gauss[1] blurred away fine structure for
+            # upper scales).  Extrema live on inner scales 1.._N_SPO.
+            gstack = [_grad(gauss[s]) for s in range(1, _N_SPO + 1)]
+            gx = jnp.stack([g[0] for g in gstack])
+            gy = jnp.stack([g[1] for g in gstack])
+            lvl = jnp.clip(sc, 1, _N_SPO) - 1
+            angle = _dominant_orientation(gx, gy, lvl, xy, 8)
+            desc = _sift_descriptor(gx, gy, lvl, xy, angle)
             octave_scale = 2.0 ** o
             outs.append(Features(
                 xy=xy * octave_scale,
@@ -204,6 +253,11 @@ def _sift_impl(gray, *, n_features: int, n_octaves: int,
         img = resize(img, (max(oh // 2, 1), max(ow // 2, 1)))
 
     out = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *outs)
+    if out.xy.shape[0] > n_features:
+        # Global selection across octaves (invalid slots rank last).
+        sel_resp = jnp.where(out.valid, out.response, -1.0)
+        _, sel = jax.lax.top_k(sel_resp, n_features)
+        out = jax.tree.map(lambda x: x[sel], out)
     pad_n = n_features - out.xy.shape[0]
     if pad_n > 0:
         out = jax.tree.map(
