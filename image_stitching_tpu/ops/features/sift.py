@@ -227,8 +227,42 @@ def _sift_impl(gray, *, n_features: int, n_octaves: int,
             valid = vals > 0
             sc = idx // (oh * ow)
             rem = idx % (oh * ow)
-            ky = (rem // ow).astype(jnp.float32)
-            kx = (rem % ow).astype(jnp.float32)
+            kyi = rem // ow
+            kxi = rem % ow
+            # Sub-pixel/scale extremum refinement: quadratic fit of the
+            # DoG 3x3x3 neighborhood (Brown & Lowe), offset = -H^-1 g
+            # clipped to +-0.5 — localization error drives RANSAC inlier
+            # ratio directly.
+            dp = jnp.pad(dog, ((1, 1), (1, 1), (1, 1)), mode="edge")
+
+            def nb(ds, dy, dx):
+                return dp[sc + 1 + ds, kyi + 1 + dy, kxi + 1 + dx]
+            g1 = 0.5 * (nb(0, 0, 1) - nb(0, 0, -1))       # d/dx
+            g2 = 0.5 * (nb(0, 1, 0) - nb(0, -1, 0))       # d/dy
+            g3 = 0.5 * (nb(1, 0, 0) - nb(-1, 0, 0))       # d/ds
+            c = nb(0, 0, 0)
+            hxx = nb(0, 0, 1) + nb(0, 0, -1) - 2 * c
+            hyy = nb(0, 1, 0) + nb(0, -1, 0) - 2 * c
+            hss = nb(1, 0, 0) + nb(-1, 0, 0) - 2 * c
+            hxy = 0.25 * (nb(0, 1, 1) + nb(0, -1, -1) -
+                          nb(0, 1, -1) - nb(0, -1, 1))
+            hxs = 0.25 * (nb(1, 0, 1) + nb(-1, 0, -1) -
+                          nb(1, 0, -1) - nb(-1, 0, 1))
+            hys = 0.25 * (nb(1, 1, 0) + nb(-1, -1, 0) -
+                          nb(1, -1, 0) - nb(-1, 1, 0))
+            hmat = jnp.stack([
+                jnp.stack([hxx, hxy, hxs], -1),
+                jnp.stack([hxy, hyy, hys], -1),
+                jnp.stack([hxs, hys, hss], -1)], -2)       # (K, 3, 3)
+            gvec = jnp.stack([g1, g2, g3], -1)             # (K, 3)
+            eye = jnp.eye(3, dtype=hmat.dtype) * 1e-4
+            off3 = -jnp.linalg.solve(hmat + eye, gvec[..., None])[..., 0]
+            off3 = jnp.where(jnp.isfinite(off3), off3, 0.0)
+            off3 = jnp.clip(off3, -0.5, 0.5)
+            ky = jnp.clip(kyi.astype(jnp.float32) + off3[:, 1],
+                          0.0, oh - 1.0)
+            kx = jnp.clip(kxi.astype(jnp.float32) + off3[:, 0],
+                          0.0, ow - 1.0)
             xy = jnp.stack([kx, ky], -1)
             # Per-level gradients: the orientation/descriptor sample the
             # gaussian layer of each keypoint's own DoG scale (true SIFT
@@ -246,7 +280,8 @@ def _sift_impl(gray, *, n_features: int, n_octaves: int,
                 response=jnp.where(valid, vals, 0.0),
                 angle=angle,
                 octave=jnp.full((k_o,), o, jnp.int32),
-                size=(_SIGMA0 * (2.0 ** (sc.astype(jnp.float32) / _N_SPO)) *
+                size=(_SIGMA0 * (2.0 ** ((sc.astype(jnp.float32) +
+                                          off3[:, 2]) / _N_SPO)) *
                       octave_scale * 2.0),
                 desc=desc,
                 valid=valid))
