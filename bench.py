@@ -114,6 +114,7 @@ def _bench_e2e():
         elapsed[seed] = time.perf_counter() - t0
     best = min(elapsed, key=elapsed.get)
     res = results[best]
+    med_elapsed = float(np.median(list(elapsed.values())))
 
     gt = np.load(os.path.join(dirs[best], "gt.npz"))
     ws = (1.0 if work_mp < 0 else
@@ -140,6 +141,9 @@ def _bench_e2e():
         "unit": "MP/s/chip",
         "vs_baseline": round(value / NORTH_STAR, 3),
         "reproj_err_px": round(reproj, 3),
+        # Median-of-3 throughput: distinguishes best-window from typical
+        # (tunnel rate varies ~2x between windows, NOTES_r02).
+        "value_p50": round(mp / med_elapsed, 3),
     }
 
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import List, Tuple
 
 import jax
@@ -249,8 +250,13 @@ def _orb_impl(gray: jnp.ndarray, pattern: jnp.ndarray, *, n_features: int,
         # at 8MP; the hardware-accelerated approximate variant fuses into
         # it for free.  Recall 0.95 on "which of the strongest corners
         # make the cut" is harmless for keypoint selection.
-        top_vals, top_idx = jax.lax.approx_max_k(rank, k_l,
-                                                 recall_target=0.95)
+        # STITCH_EXACT_TOPK=1 switches to the exact retainBest semantics
+        # for parity-debugging runs (advisor escape hatch).
+        if os.environ.get("STITCH_EXACT_TOPK", "0") == "1":
+            top_vals, top_idx = jax.lax.top_k(rank, k_l)
+        else:
+            top_vals, top_idx = jax.lax.approx_max_k(rank, k_l,
+                                                     recall_target=0.95)
         valid = top_vals > -jnp.inf
         kyi = (top_idx // lw).astype(jnp.int32)
         kxi = (top_idx % lw).astype(jnp.int32)

@@ -265,11 +265,19 @@ def match_all_pairs(feats: Features, key: jnp.ndarray,
     def mirror(x, swap_idx=False):
         return jnp.swapaxes(x, 0, 1)
 
+    # Guarded inverse: degenerate pairs (conf 0, e.g. too few matches)
+    # carry identity / singular H — substitute identity BEFORE inverting
+    # so no inf/nan is ever produced, and emit identity for them after.
+    eye = jnp.eye(3, dtype=pm.h.dtype)
+    hm = mirror(pm.h)
+    h_ok = ((mirror(pm.confidence) > 0.0)
+            & jnp.all(jnp.isfinite(hm), axis=(-2, -1))
+            & (jnp.abs(jnp.linalg.det(hm)) > 1e-12))
+    h_safe = jnp.where(h_ok[..., None, None], hm, eye)
     lower = PairMatches(
         a_idx=mirror(pm.b_idx), b_idx=mirror(pm.a_idx),
         valid=mirror(pm.valid), inlier=mirror(pm.inlier),
-        h=jnp.linalg.inv(mirror(pm.h) + 1e-12 *
-                         jnp.eye(3)[None, None]),
+        h=jnp.where(h_ok[..., None, None], jnp.linalg.inv(h_safe), eye),
         num_inliers=mirror(pm.num_inliers),
         confidence=mirror(pm.confidence))
 

@@ -169,37 +169,50 @@ def _graph_cut_pair(cost: np.ndarray, must1: np.ndarray, must2: np.ndarray,
     n = h * w
     src, dst = n, n + 1
     idx = np.arange(n).reshape(h, w)
-    rows, cols, caps = [], [], []
-
-    def add(u, v, c):
-        rows.append(u)
-        cols.append(v)
-        caps.append(c)
 
     # Pairwise terms: edge weight = average endpoint cost (OpenCV's
     # GraphCutSeamFinder cost structure), scaled to ints for maxflow.
+    # COO triplets assembled with whole-array slicing — no per-edge
+    # Python loop (seam-scale overlaps carry 10^5-10^6 edges).
     scale = 255.0
     ecost = np.maximum((cost * scale).astype(np.int64), 1)
+    rows, cols, caps = [], [], []
     for (du, dv) in ((0, 1), (1, 0)):
         u = idx[: h - du, : w - dv]
         v = idx[du:, dv:]
         c = ((ecost[: h - du, : w - dv] + ecost[du:, dv:]) // 2 + 1)
         ok = valid[: h - du, : w - dv] & valid[du:, dv:]
-        for a, b, cc in zip(u[ok].ravel(), v[ok].ravel(), c[ok].ravel()):
-            add(a, b, cc)
-            add(b, a, cc)
-    inf = int(1 << 40)
-    for p in idx[must1 & valid].ravel():
-        add(src, p, inf)
-    for p in idx[must2 & valid].ravel():
-        add(p, dst, inf)
-    if not caps:
+        uu, vv, cc = u[ok], v[ok], c[ok]
+        rows.append(np.concatenate([uu, vv]))
+        cols.append(np.concatenate([vv, uu]))
+        caps.append(np.concatenate([cc, cc]))
+    # Terminal capacity must stay uncuttable yet fit int32: scipy's
+    # maximum_flow casts capacities to int32 internally, so 1<<40 silently
+    # wrapped to 0 (zero flow, degenerate all-ones partitions).  2^30 is
+    # far above any achievable pixel-edge cut (< 2^27 at seam scales).
+    inf = int(1 << 30)
+    p1 = idx[must1 & valid]
+    p2 = idx[must2 & valid]
+    rows.append(np.full(len(p1), src, np.int64))
+    cols.append(p1.astype(np.int64))
+    caps.append(np.full(len(p1), inf, np.int64))
+    rows.append(p2.astype(np.int64))
+    cols.append(np.full(len(p2), dst, np.int64))
+    caps.append(np.full(len(p2), inf, np.int64))
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    caps = np.concatenate(caps)
+    if len(caps) == 0:
         return np.ones((h, w), bool)
     m = csr_matrix((caps, (rows, cols)), shape=(n + 2, n + 2))
     res = maximum_flow(m, src, dst)
-    # Residual BFS from src gives the source side.
+    # Residual BFS from src gives the source side.  Saturated edges end up
+    # as EXPLICIT zeros in the residual CSR, and scipy's csgraph treats
+    # explicit zeros as real (zero-weight) edges — drop them, or the BFS
+    # walks straight across the cut.
     resid = m - res.flow
     resid.data = np.maximum(resid.data, 0)
+    resid.eliminate_zeros()
     from scipy.sparse.csgraph import breadth_first_order
     reach = breadth_first_order(resid, src, directed=True,
                                 return_predecessors=False)

@@ -201,11 +201,11 @@ def make_sharded_multiband(mesh: Mesh, n_images: int,
 
         # Mark the zero-initialized accumulators as varying over the shard
         # axis (the scan body mixes in axis_index-dependent values).
-        accs = [jax.lax.pvary(jnp.zeros((hc >> b, w_ext >> b, 3),
-                                        jnp.float32), axis)
+        accs = [jax.lax.pcast(jnp.zeros((hc >> b, w_ext >> b, 3),
+                                        jnp.float32), axis, to="varying")
                 for b in range(n_bands + 1)]
-        waccs = [jax.lax.pvary(jnp.zeros((hc >> b, w_ext >> b),
-                                         jnp.float32), axis)
+        waccs = [jax.lax.pcast(jnp.zeros((hc >> b, w_ext >> b),
+                                         jnp.float32), axis, to="varying")
                  for b in range(n_bands + 1)]
         (accs, waccs), _ = jax.lax.scan(accum, (accs, waccs),
                                         (images, ks, rs, weights))

