@@ -63,10 +63,17 @@ if lib is not None:
                                       ctypes.POINTER(c_int),
                                       ctypes.POINTER(c_int), c_int, c_int]
     lib.sr_decode_start.argtypes = [c_char_p, c_int, i32_p, i32_p, i32_p,
+                                    i32_p,
                                     ctypes.POINTER(ctypes.c_void_p),
                                     np.ctypeslib.ndpointer(
                                         np.int64, flags="C_CONTIGUOUS"),
                                     i32_p, i32_p, i32_p, c_int]
+    lib.sr_probe_jpeg_sampling.argtypes = [c_char_p, ctypes.POINTER(c_int),
+                                           ctypes.POINTER(c_int),
+                                           ctypes.POINTER(c_int)]
+    lib.sr_read_jpeg_raw.argtypes = [c_char_p, u8_p, ctypes.c_int64,
+                                     ctypes.POINTER(c_int),
+                                     ctypes.POINTER(c_int)]
     lib.sr_decode_start.restype = ctypes.c_void_p
     lib.sr_decode_wait.argtypes = [ctypes.c_void_p, c_int]
     lib.sr_decode_finish.argtypes = [ctypes.c_void_p]
@@ -87,6 +94,49 @@ def probe_image(path: str) -> Optional[tuple]:
                           ctypes.byref(h)) != 0:
         return None
     return (w.value, h.value)
+
+
+def probe_jpeg_sampling(path: str) -> Optional[Tuple[int, int, bool]]:
+    """Header-only probe: (w, h, is_h2v2_ycc).  None if not a JPEG or
+    the lib is unavailable.  is_h2v2_ycc gates the raw-plane decode."""
+    if lib is None:
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    s = ctypes.c_int()
+    if lib.sr_probe_jpeg_sampling(path.encode(), ctypes.byref(w),
+                                  ctypes.byref(h), ctypes.byref(s)) != 0:
+        return None
+    return (w.value, h.value, bool(s.value))
+
+
+def yuv420_layout(w: int, h: int) -> Tuple[int, int, int, int]:
+    """iMCU-aligned plane strides of the raw 4:2:0 decode:
+    (ya_w, ya_h, ca_w, ca_h); packed buffer = ya_w*ya_h + 2*ca_w*ca_h."""
+    ya_w = -(-w // 16) * 16
+    ya_h = -(-h // 16) * 16
+    return (ya_w, ya_h, ya_w // 2, ya_h // 2)
+
+
+def read_jpeg_yuv420(path: str) -> Optional[Tuple[np.ndarray, int, int]]:
+    """Raw-plane 4:2:0 decode: (packed u8 buffer, w, h); None on
+    unavailability or unsupported sampling.  Plane layout per
+    `yuv420_layout` (Y, Cb, Cr, iMCU-aligned strides)."""
+    if lib is None:
+        return None
+    probe = probe_jpeg_sampling(path)
+    if probe is None or not probe[2]:
+        return None
+    w0, h0, _ = probe
+    ya_w, ya_h, ca_w, ca_h = yuv420_layout(w0, h0)
+    out = np.empty(ya_w * ya_h + 2 * ca_w * ca_h, np.uint8)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.sr_read_jpeg_raw(path.encode(), out, out.size,
+                              ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        return None
+    return out, w.value, h.value
 
 
 def read_image(path: str) -> Optional[np.ndarray]:
@@ -130,14 +180,15 @@ def read_images(paths: Sequence[str],
     return [np.ascontiguousarray(out[i, :hs[i], :ws[i]]) for i in range(n)]
 
 
-def scaled_dims(w: int, h: int, denom: int) -> Tuple[int, int]:
-    """libjpeg DCT-scaled output dims for scale 1/denom: ceil(dim/denom)."""
-    return (-(-w // denom), -(-h // denom))
+def scaled_dims(w: int, h: int, num8: int) -> Tuple[int, int]:
+    """libjpeg DCT-scaled output dims for scale num8/8 (num8 in 1..8):
+    ceil(dim * num8 / 8) per jpeg_calc_output_dimensions."""
+    return (-(-w * num8 // 8), -(-h * num8 // 8))
 
 
 def read_image_opts(path: str, gray: bool = False,
-                    denom: int = 1) -> Optional[np.ndarray]:
-    """JPEG decode with luma-only and/or DCT 1/denom scaling.
+                    num8: int = 8) -> Optional[np.ndarray]:
+    """JPEG decode with luma-only and/or DCT num8/8 scaling (num8 1..8).
 
     Returns (H, W) uint8 when gray else (H, W, 3); None if unavailable.
     """
@@ -146,21 +197,21 @@ def read_image_opts(path: str, gray: bool = False,
     wh = probe_image(path)
     if wh is None:
         return None
-    ow, oh = scaled_dims(wh[0], wh[1], denom)
+    ow, oh = scaled_dims(wh[0], wh[1], num8)
     shape = (oh, ow) if gray else (oh, ow, 3)
     out = np.empty(shape, np.uint8)
     w = ctypes.c_int()
     h = ctypes.c_int()
     rc = lib.sr_read_jpeg_opts(path.encode(), out, out.size,
                                ctypes.byref(w), ctypes.byref(h),
-                               1 if gray else 0, denom)
+                               1 if gray else 0, num8)
     if rc != 0 or (w.value, h.value) != (ow, oh):
         return None
     return out
 
 
 class DecodeSession:
-    """Background-thread decode of a list of (path, gray, denom) items.
+    """Background-thread decode of a list of (path, gray, num8) items.
 
     Buffers are preallocated from header probes; `wait(i)` blocks (GIL
     released inside ctypes) until item i is decoded and returns its array.
@@ -168,29 +219,40 @@ class DecodeSession:
     item i+1 overlaps the tunnel transfer of item i even on one core.
     """
 
-    def __init__(self, items: Sequence[Tuple[str, bool, int]],
+    def __init__(self, items: Sequence[Tuple],
                  nthreads: int = 2, delta: bool = False):
-        """delta=True: each decoded buffer is row-delta-encoded (wrapping
-        mod-256 horizontal difference) in place on the worker thread —
-        for LZ-compressed transports; invert with a wrapping u8 prefix
-        sum along the row axis."""
+        """items: (path, gray, num8[, raw]).  raw=True decodes packed
+        4:2:0 Y/Cb/Cr planes (`yuv420_layout`) as a flat u8 buffer —
+        precondition: the file is h2v2 YCbCr (caller probes).
+        delta=True: each non-raw decoded buffer is row-delta-encoded
+        (wrapping mod-256 horizontal difference) in place on the worker
+        thread — for LZ-compressed transports; invert with a wrapping u8
+        prefix sum along the row axis."""
         assert lib is not None
         n = len(items)
         self._arrays: List[np.ndarray] = []
         grays = np.zeros(n, np.int32)
-        denoms = np.ones(n, np.int32)
+        num8s = np.full(n, 8, np.int32)
+        raws = np.zeros(n, np.int32)
         caps = np.zeros(n, np.int64)
         ptrs = (ctypes.c_void_p * n)()
         paths = []
-        for i, (path, gray, denom) in enumerate(items):
+        for i, item in enumerate(items):
+            path, gray, num8 = item[0], item[1], item[2]
+            raw = bool(item[3]) if len(item) > 3 else False
             wh = probe_image(path)
             if wh is None:
                 raise OSError(f"cannot probe {path}")
-            ow, oh = scaled_dims(wh[0], wh[1], denom)
-            arr = np.empty((oh, ow) if gray else (oh, ow, 3), np.uint8)
+            if raw:
+                ya_w, ya_h, ca_w, ca_h = yuv420_layout(wh[0], wh[1])
+                arr = np.empty(ya_w * ya_h + 2 * ca_w * ca_h, np.uint8)
+            else:
+                ow, oh = scaled_dims(wh[0], wh[1], num8)
+                arr = np.empty((oh, ow) if gray else (oh, ow, 3), np.uint8)
             self._arrays.append(arr)
             grays[i] = 1 if gray else 0
-            denoms[i] = denom
+            num8s[i] = num8
+            raws[i] = 1 if raw else 0
             caps[i] = arr.size
             ptrs[i] = arr.ctypes.data
             paths.append(path)
@@ -199,8 +261,8 @@ class DecodeSession:
         self._rcs = np.zeros(n, np.int32)
         deltas = np.full(n, 1 if delta else 0, np.int32)
         self._handle = lib.sr_decode_start(
-            "\n".join(paths).encode(), n, grays, denoms, deltas, ptrs,
-            caps, self._ws, self._hs, self._rcs, nthreads)
+            "\n".join(paths).encode(), n, grays, num8s, deltas, raws,
+            ptrs, caps, self._ws, self._hs, self._rcs, nthreads)
         self._finished = False
 
     def wait(self, i: int) -> np.ndarray:

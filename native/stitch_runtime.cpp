@@ -107,11 +107,12 @@ int sr_read_jpeg(const char* path, uint8_t* out, int cap, int* w, int* h) {
 
 // Decode JPEG with options: gray != 0 -> luma-only output (1 byte/px,
 // skips chroma upsampling + RGB conversion, ~2-3x faster than RGB);
-// denom in {1, 2, 4, 8} -> libjpeg DCT-scaled decode at 1/denom per axis
-// (IDCT work drops ~denom^2).  out must hold ceil(w/denom) * ceil(h/denom)
-// * (gray ? 1 : 3).  Returns 0 on success; *w/*h get the OUTPUT dims.
+// num8 in 1..8 -> libjpeg-turbo DCT-scaled decode at num8/8 per axis
+// (any eighth, not just powers of two; IDCT work drops ~(num8/8)^2).
+// out must hold ceil(w*num8/8) * ceil(h*num8/8) * (gray ? 1 : 3).
+// Returns 0 on success; *w/*h get the OUTPUT dims.
 int sr_read_jpeg_opts(const char* path, uint8_t* out, int64_t cap, int* w,
-                      int* h, int gray, int denom) {
+                      int* h, int gray, int num8) {
     FILE* f = fopen(path, "rb");
     if (!f) return -1;
     jpeg_decompress_struct cinfo;
@@ -127,8 +128,8 @@ int sr_read_jpeg_opts(const char* path, uint8_t* out, int64_t cap, int* w,
     jpeg_stdio_src(&cinfo, f);
     jpeg_read_header(&cinfo, TRUE);
     cinfo.out_color_space = gray ? JCS_GRAYSCALE : JCS_RGB;
-    cinfo.scale_num = 1;
-    cinfo.scale_denom = (denom == 2 || denom == 4 || denom == 8) ? denom : 1;
+    cinfo.scale_num = (num8 >= 1 && num8 <= 8) ? num8 : 8;
+    cinfo.scale_denom = 8;
     jpeg_start_decompress(&cinfo);
     const int width = cinfo.output_width;
     const int height = cinfo.output_height;
@@ -143,6 +144,119 @@ int sr_read_jpeg_opts(const char* path, uint8_t* out, int64_t cap, int* w,
     while (cinfo.output_scanline < cinfo.output_height) {
         JSAMPROW row = out + size_t(cinfo.output_scanline) * width * ncomp;
         jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return 0;
+}
+
+// Header-only sampling probe: sets *h2v2_ycc to 1 iff the file is a
+// 3-component YCbCr JPEG with 4:2:0 (2x2 luma, 1x1 chroma) sampling —
+// the precondition for the raw-plane decode below.  Returns 0 on success.
+int sr_probe_jpeg_sampling(const char* path, int* w, int* h,
+                           int* h2v2_ycc) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -1;
+    jpeg_decompress_struct cinfo;
+    JpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = jpeg_err_exit;
+    if (setjmp(jerr.jb)) {
+        jpeg_destroy_decompress(&cinfo);
+        fclose(f);
+        return -2;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_stdio_src(&cinfo, f);
+    jpeg_read_header(&cinfo, TRUE);
+    *w = cinfo.image_width;
+    *h = cinfo.image_height;
+    *h2v2_ycc =
+        (cinfo.num_components == 3 && cinfo.jpeg_color_space == JCS_YCbCr &&
+         cinfo.comp_info[0].h_samp_factor == 2 &&
+         cinfo.comp_info[0].v_samp_factor == 2 &&
+         cinfo.comp_info[1].h_samp_factor == 1 &&
+         cinfo.comp_info[1].v_samp_factor == 1 &&
+         cinfo.comp_info[2].h_samp_factor == 1 &&
+         cinfo.comp_info[2].v_samp_factor == 1) ? 1 : 0;
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return 0;
+}
+
+// Raw-plane 4:2:0 decode: skips chroma upsampling AND YCbCr->RGB on the
+// host — both run on device instead (pipeline/ingest.py replicates
+// libjpeg's fancy (triangle) upsample and fixed-point color convert
+// bit-exactly), and the upload ships 1.5 bytes/px instead of 3.
+// out layout (packed, row-major): Y plane (ya_h x ya_w), Cb then Cr
+// (ca_h x ca_w) where ya_w = ceil(w/16)*16, ya_h = ceil(h/16)*16,
+// ca_* = ya_* / 2 (iMCU-aligned strides; rows/cols beyond the image
+// carry codec padding).  cap must be ya_w*ya_h + 2*ca_w*ca_h.
+// Returns 0 on success, -5 if the file is not h2v2 YCbCr.
+int sr_read_jpeg_raw(const char* path, uint8_t* out, int64_t cap,
+                     int* w, int* h) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -1;
+    jpeg_decompress_struct cinfo;
+    JpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = jpeg_err_exit;
+    if (setjmp(jerr.jb)) {
+        jpeg_destroy_decompress(&cinfo);
+        fclose(f);
+        return -2;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_stdio_src(&cinfo, f);
+    jpeg_read_header(&cinfo, TRUE);
+    if (!(cinfo.num_components == 3 &&
+          cinfo.jpeg_color_space == JCS_YCbCr &&
+          cinfo.comp_info[0].h_samp_factor == 2 &&
+          cinfo.comp_info[0].v_samp_factor == 2 &&
+          cinfo.comp_info[1].h_samp_factor == 1 &&
+          cinfo.comp_info[1].v_samp_factor == 1 &&
+          cinfo.comp_info[2].h_samp_factor == 1 &&
+          cinfo.comp_info[2].v_samp_factor == 1)) {
+        jpeg_destroy_decompress(&cinfo);
+        fclose(f);
+        return -5;
+    }
+    cinfo.raw_data_out = TRUE;
+    jpeg_start_decompress(&cinfo);
+    const int width = cinfo.output_width;
+    const int height = cinfo.output_height;
+    const int ya_w = ((width + 15) / 16) * 16;
+    const int ya_h = ((height + 15) / 16) * 16;
+    const int ca_w = ya_w / 2;
+    const int ca_h = ya_h / 2;
+    if (int64_t(ya_w) * ya_h + 2 * int64_t(ca_w) * ca_h > cap) {
+        jpeg_destroy_decompress(&cinfo);
+        fclose(f);
+        return -3;
+    }
+    *w = width;
+    *h = height;
+    uint8_t* yp = out;
+    uint8_t* cbp = out + size_t(ya_w) * ya_h;
+    uint8_t* crp = cbp + size_t(ca_w) * ca_h;
+    JSAMPROW yrows[16], cbrows[8], crrows[8];
+    JSAMPARRAY planes[3] = {yrows, cbrows, crrows};
+    // libjpeg writes width_in_blocks*8 samples per row, which can be less
+    // than the iMCU-aligned stride for widths not a multiple of 16; the
+    // consumer only reads the valid wxh (ceil/2 for chroma) region.
+    while (cinfo.output_scanline < cinfo.output_height) {
+        int base_y = cinfo.output_scanline;      // multiple of 16
+        for (int r = 0; r < 16; ++r)
+            yrows[r] = yp + size_t(std::min(base_y + r, ya_h - 1)) * ya_w;
+        int base_c = base_y / 2;
+        for (int r = 0; r < 8; ++r) {
+            cbrows[r] = cbp +
+                size_t(std::min(base_c + r, ca_h - 1)) * ca_w;
+            crrows[r] = crp +
+                size_t(std::min(base_c + r, ca_h - 1)) * ca_w;
+        }
+        jpeg_read_raw_data(&cinfo, planes, 16);
     }
     jpeg_finish_decompress(&cinfo);
     jpeg_destroy_decompress(&cinfo);
@@ -352,7 +466,7 @@ int sr_read_images(const char* joined_paths, int n, uint8_t* out,
 
 // ---------------------------------------------------------------------------
 // Async decode session: background worker threads decode a list of images
-// (each with its own gray/denom options) into caller-provided buffers while
+// (each with its own gray/num8 options) into caller-provided buffers while
 // the calling (Python) thread blocks only on the next image it needs —
 // decode of image i+1 overlaps the tunnel upload of image i even on one
 // core, because uploads are IO-bound waits that yield the CPU.
@@ -376,7 +490,7 @@ static void delta_rows(uint8_t* buf, int w, int h, int ncomp) {
 
 struct DecodeSession {
     std::vector<std::string> paths;
-    std::vector<int> gray, denom, delta;
+    std::vector<int> gray, num8, delta, raw;
     std::vector<uint8_t*> outs;
     std::vector<int64_t> caps;
     int* ws;
@@ -398,17 +512,20 @@ static void decode_one(DecodeSession* s, int i) {
     uint8_t magic[2] = {0, 0};
     size_t got = f ? fread(magic, 1, 2, f) : 0;
     if (f) fclose(f);
-    if (got == 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
+    if (got == 2 && magic[0] == 0xFF && magic[1] == 0xD8 && s->raw[i]) {
+        rc = sr_read_jpeg_raw(p, s->outs[i], s->caps[i], s->ws + i,
+                              s->hs + i);
+    } else if (got == 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
         rc = sr_read_jpeg_opts(p, s->outs[i], s->caps[i], s->ws + i,
-                               s->hs + i, s->gray[i], s->denom[i]);
+                               s->hs + i, s->gray[i], s->num8[i]);
     } else if (got == 2 && magic[0] == 0x89 && magic[1] == 'P' &&
-               !s->gray[i] && s->denom[i] == 1) {
+               !s->gray[i] && s->num8[i] == 8) {
         rc = sr_read_png(p, s->outs[i], int(s->caps[i]), s->ws + i,
                          s->hs + i);
     } else {
         rc = -4;  // options unsupported for this codec
     }
-    if (rc == 0 && s->delta[i])
+    if (rc == 0 && s->delta[i] && !s->raw[i])
         delta_rows(s->outs[i], s->ws[i], s->hs[i], s->gray[i] ? 1 : 3);
     s->rcs[i] = rc;
     {
@@ -422,7 +539,7 @@ static void decode_one(DecodeSession* s, int i) {
 // hold caps[i] bytes; ws/hs/rcs are n-element result arrays owned by the
 // caller (valid until sr_decode_finish).  Returns an opaque handle.
 void* sr_decode_start(const char* joined_paths, int n, const int* gray,
-                      const int* denom, const int* delta,
+                      const int* num8, const int* delta, const int* raw,
                       uint8_t* const* outs,
                       const int64_t* caps, int* ws, int* hs, int* rcs,
                       int nthreads) {
@@ -435,8 +552,9 @@ void* sr_decode_start(const char* joined_paths, int n, const int* gray,
         p = (*e) ? e + 1 : e;
     }
     s->gray.assign(gray, gray + n);
-    s->denom.assign(denom, denom + n);
+    s->num8.assign(num8, num8 + n);
     s->delta.assign(delta, delta + n);
+    s->raw.assign(raw, raw + n);
     s->outs.assign(outs, outs + n);
     s->caps.assign(caps, caps + n);
     s->ws = ws;

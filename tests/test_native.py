@@ -114,18 +114,33 @@ def test_read_image_opts_gray_and_scaled(tmp_path, rng):
     p = str(tmp_path / "1.jpg")
     Image.fromarray(img).save(p, quality=95)
     full = native.read_image(p)
-    g = native.read_image_opts(p, gray=True, denom=1)
+    g = native.read_image_opts(p, gray=True, num8=8)
     assert g.shape == (120, 200)
     # JPEG luma == BT.601 gray of the RGB decode (rounding only).
     ref = (0.299 * full[..., 0] + 0.587 * full[..., 1] +
            0.114 * full[..., 2])
     assert np.abs(g.astype(np.float64) - ref).mean() < 1.0
-    # DCT-scaled decode: dims are ceil(dim/denom); content is a proper
+    # DCT-scaled decode: dims are ceil(dim*num8/8); content is a proper
     # low-pass of the full image.
-    q = native.read_image_opts(p, gray=False, denom=4)
+    q = native.read_image_opts(p, gray=False, num8=2)
     assert q.shape == (30, 50, 3)
     coarse = full.reshape(30, 4, 50, 4, 3).mean((1, 3))
     assert np.abs(q.astype(np.float64) - coarse).mean() < 12.0
+    # Fractional eighth (libjpeg-turbo M/8 scaling): 5/8 of 120x200 is
+    # ceil-scaled to 75x125, content a low-pass of the full image.
+    q5 = native.read_image_opts(p, gray=False, num8=5)
+    assert q5.shape == (75, 125, 3)
+    from PIL import Image as _Image
+    ref5 = np.asarray(_Image.fromarray(full).resize(
+        (125, 75), _Image.BILINEAR), np.float64)
+    # Random-noise content: DCT M/8 and bilinear low-passes differ per
+    # pixel, but must be strongly correlated and mean-preserving.
+    a, b = q5.astype(np.float64).ravel(), ref5.ravel()
+    assert abs(a.mean() - b.mean()) < 2.0
+    assert np.corrcoef(a, b)[0, 1] > 0.85
+    from image_stitching_tpu.pipeline.ingest import pick_num8
+    assert [pick_num8(s) for s in (1.0, 0.9, 0.625, 0.61, 0.5, 0.1,
+                                   0.01)] == [8, 8, 5, 5, 4, 1, 1]
 
 
 def test_decode_session_orders_and_matches(tmp_path, rng):
@@ -139,14 +154,55 @@ def test_decode_session_orders_and_matches(tmp_path, rng):
         imgs.append(img)
     items = []
     for p in paths:
-        items.append((p, True, 1))
-        items.append((p, False, 2))
+        items.append((p, True, 8))
+        items.append((p, False, 4))
     s = native.DecodeSession(items, nthreads=2)
     for i, p in enumerate(paths):
         g = s.wait(2 * i)
         q = s.wait(2 * i + 1)
         assert np.array_equal(g, native.read_image_opts(p, gray=True))
-        assert np.array_equal(q, native.read_image_opts(p, denom=2))
+        assert np.array_equal(q, native.read_image_opts(p, num8=4))
+    s.finish()
+
+
+def test_raw_yuv420_decode_bit_exact(tmp_path, rng):
+    """Raw 4:2:0 plane decode + device-side fancy upsample / fixed-point
+    YCbCr->RGB must be BIT-EXACT vs libjpeg's own RGB pipeline — odd
+    dims exercise the iMCU padding and edge-clamp special cases."""
+    import jax.numpy as jnp
+    from image_stitching_tpu.pipeline.ingest import yuv420_to_rgb_exact
+    for hw in ((61, 77), (64, 96), (49, 129)):
+        img = rng.integers(0, 255, (*hw, 3), dtype=np.uint8)
+        p = str(tmp_path / f"raw_{hw[0]}x{hw[1]}.jpg")
+        Image.fromarray(img).save(p, quality=92)
+        probe = native.probe_jpeg_sampling(p)
+        assert probe is not None and probe[2], probe
+        ref = native.read_image(p)
+        buf, w, h = native.read_jpeg_yuv420(p)
+        assert (w, h) == (hw[1], hw[0])
+        ya_w, ya_h, ca_w, ca_h = native.yuv420_layout(w, h)
+        y_sz, c_sz = ya_w * ya_h, ca_w * ca_h
+        y = buf[:y_sz].reshape(ya_h, ya_w)[:h, :w]
+        cb = buf[y_sz:y_sz + c_sz].reshape(
+            ca_h, ca_w)[:(h + 1) // 2, :(w + 1) // 2]
+        cr = buf[y_sz + c_sz:].reshape(
+            ca_h, ca_w)[:(h + 1) // 2, :(w + 1) // 2]
+        got = np.asarray(yuv420_to_rgb_exact(
+            jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr)))
+        assert np.array_equal(got, ref), \
+            (hw, int(np.abs(got.astype(int) - ref.astype(int)).max()))
+    # DecodeSession raw items produce the same packed planes (compare
+    # valid regions only: iMCU padding columns beyond width_in_blocks*8
+    # are uninitialized).
+    s = native.DecodeSession([(p, False, 8, True)], nthreads=1)
+    buf2 = s.wait(0)
+    for off, sz, pw, ph, vw, vh in (
+            (0, y_sz, ya_w, ya_h, w, h),
+            (y_sz, c_sz, ca_w, ca_h, (w + 1) // 2, (h + 1) // 2),
+            (y_sz + c_sz, c_sz, ca_w, ca_h, (w + 1) // 2, (h + 1) // 2)):
+        a = buf[off:off + sz].reshape(ph, pw)[:vh, :vw]
+        b = buf2[off:off + sz].reshape(ph, pw)[:vh, :vw]
+        assert np.array_equal(a, b)
     s.finish()
 
 
@@ -157,7 +213,7 @@ def test_decode_session_delta_encode_roundtrip(tmp_path, rng):
     img = rng.integers(0, 255, (45, 70, 3), dtype=np.uint8)
     p = str(tmp_path / "d.jpg")
     Image.fromarray(img).save(p, quality=95)
-    items = [(p, True, 1), (p, False, 1)]
+    items = [(p, True, 8), (p, False, 8)]
     plain = native.DecodeSession(items, nthreads=1)
     ref_g, ref_c = plain.wait(0).copy(), plain.wait(1).copy()
     plain.finish()

@@ -184,6 +184,50 @@ def test_sharded_compose_e2e_matches_default(stitched, capture_dir, tmp_path):
     assert float(np.mean(diff)) < 1.0, float(np.mean(diff))
 
 
+def test_fast_ingest_raw_yuv_parity(capture_dir, tmp_path):
+    """Full-scale fast_ingest (raw 4:2:0 plane upload + on-device
+    libjpeg-exact conversion) stitches the same panorama as the legacy
+    full-RGB decode path.  The decoded pixels are bit-exact, so only
+    float accumulation differences remain."""
+    d, images, k, rs = capture_dir
+    results = {}
+    for fast in (False, True):
+        run = tmp_path / ("raw" if fast else "legacy")
+        run.mkdir()
+        os.chdir(run)
+        cfg = small_cfg(checkpoint_dir=str(run), fast_ingest=fast,
+                        seam_megapix=0.02)
+        results[fast] = stitch(d, cfg, output="")
+    a, b = results[False], results[True]
+    assert a.kept_indices == b.kept_indices
+    # The codec Y plane is the integer pre-subsampling luma; the legacy
+    # path recomputes fractional gray from reconstructed RGB.  Sub-pixel
+    # keypoint shifts can move the canvas ROI origin by a pixel or two —
+    # align by the best small integer shift before comparing.
+    assert np.all(np.abs(np.array(a.panorama.shape[:2]) -
+                         np.array(b.panorama.shape[:2])) <= 2)
+    best = np.inf
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            ha = a.panorama.shape[0] - abs(dy)
+            wa = a.panorama.shape[1] - abs(dx)
+            h = min(ha, b.panorama.shape[0] - abs(dy))
+            w = min(wa, b.panorama.shape[1] - abs(dx))
+            ay, ax = max(dy, 0), max(dx, 0)
+            by, bx = max(-dy, 0), max(-dx, 0)
+            pa = a.panorama[ay:ay + h, ax:ax + w]
+            pb = b.panorama[by:by + h, bx:bx + w]
+            m = (a.mask[ay:ay + h, ax:ax + w] &
+                 b.mask[by:by + h, bx:bx + w])
+            if m.sum() > 0.5 * a.mask.sum():
+                best = min(best, float(np.abs(pa - pb)[m].mean()))
+    # Decoded pixels are bit-exact (test_raw_yuv420_decode_bit_exact);
+    # the residual here is seam/exposure placement drift from the ±1-code
+    # luma difference above — same class and tolerance as the legacy
+    # fast-ingest parity test below.
+    assert best < 8.0, best
+
+
 def test_fast_ingest_scaled_decode_parity(capture_dir, tmp_path):
     """fast_ingest with capped compose/work megapix (DCT-scaled RGB +
     luma-only gray decode) stitches the same panorama as the legacy
