@@ -21,6 +21,9 @@ Modes (BENCH_MODE env; diagnostics go to stderr, the JSON line to stdout):
                  pairs, detect+match+RANSAC (BASELINE config 4)
   gigapixel      canvas-sharded multiband compositing throughput over a
                  wide canvas (BASELINE config 5's compute core)
+  rig37          the reference's flagship 5-ring 37-image rig
+                 (image_stitching.cpp:87-102) at reduced resolution —
+                 666 candidate pairs stress matching/BA/seam scaling
 
 Overridables: BENCH_IMAGES / BENCH_H / BENCH_W (e2e), BENCH_PAIRS (pairs).
 """
@@ -236,6 +239,54 @@ def _bench_cyl4():
     }
 
 
+def _bench_rig37():
+    """The reference's flagship scenario: the full 5-ring 37-image rig
+    (`image_stitching.cpp:87-102`) at reduced resolution — 666 candidate
+    pairs stress matching/component/BA/seam scaling that the 8-image e2e
+    can't see.  BENCH_RIG_H/BENCH_RIG_W override the per-image size."""
+    from image_stitching_tpu.config import StitchConfig
+    from image_stitching_tpu.data.synth import (make_rig_captures,
+                                                write_capture_dir)
+    from image_stitching_tpu.pipeline.stitcher import stitch
+
+    h = int(os.environ.get("BENCH_RIG_H", "960"))
+    w = int(os.environ.get("BENCH_RIG_W", "1280"))
+    cache_root = os.path.expanduser("~/.cache/stitch_bench")
+    dirs = {}
+    for seed in (21, 22):
+        d = os.path.join(cache_root, f"rig37_{h}x{w}_s{seed}")
+        if not os.path.isdir(d) or not os.path.exists(
+                os.path.join(d, "gt.npz")):
+            images, k, rs = make_rig_captures(hw=(h, w), seed=seed)
+            write_capture_dir(d, images, k, rs)
+            np.savez(os.path.join(d, "gt.npz"), k=k, rs=np.stack(rs))
+        dirs[seed] = d
+    run_dir = tempfile.mkdtemp(prefix="bench_rig37_")
+    os.chdir(run_dir)
+    cfg = StitchConfig(num_features=1000, checkpoint_dir=run_dir)
+    stitch(dirs[22], cfg, output="")  # warm-up compiles
+    t0 = time.perf_counter()
+    res = stitch(dirs[21], cfg, output="")
+    elapsed = time.perf_counter() - t0
+    gt = np.load(os.path.join(dirs[21], "gt.npz"))
+    reproj = _reproj_err_px(res.cameras, res.kept_indices,
+                            gt["k"], gt["rs"], (h, w))
+    mp = len(res.kept_indices) * h * w / 1e6
+    value = mp / elapsed
+    print(f"# rig37: kept {len(res.kept_indices)}/37, {elapsed:.2f}s, "
+          f"reproj {reproj:.3f} px, stages: " +
+          ", ".join(f"{k}={v:.2f}s" for k, v in res.stage_times.items()),
+          file=sys.stderr)
+    return {
+        "metric": "rig37_stitch_throughput",
+        "value": round(value, 3),
+        "unit": "MP/s/chip",
+        "vs_baseline": round(value / NORTH_STAR, 3),
+        "reproj_err_px": round(reproj, 3),
+        "kept": len(res.kept_indices),
+    }
+
+
 def _pair_latency_ms(n_feat=1500, trials=20):
     """p50 latency of one full pair registration (detect+match+RANSAC)."""
     import jax
@@ -337,7 +388,7 @@ def main():
     mode = os.environ.get("BENCH_MODE", "e2e")
     fn = {"e2e": _bench_e2e, "pairs": _bench_pairs,
           "gigapixel": _bench_gigapixel, "vga_pair": _bench_vga_pair,
-          "cyl4": _bench_cyl4}[mode]
+          "cyl4": _bench_cyl4, "rig37": _bench_rig37}[mode]
     print(json.dumps(fn()))
     return 0
 

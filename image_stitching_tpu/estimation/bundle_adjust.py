@@ -196,10 +196,7 @@ def _lm_normal_eqs(params, cam_i, cam_j, p_i, p_j, w, free_mask, *,
 
 
 def _cg_solve(a: jnp.ndarray, b: jnp.ndarray, iters: int = 64) -> jnp.ndarray:
-    """Jacobi-preconditioned conjugate gradients for small SPD systems.
-
-    TPU's dense LU on a 56x56 costs ~82ms; 64 CG matvecs are microseconds.
-    """
+    """Jacobi-preconditioned conjugate gradients for small SPD systems."""
     dinv = 1.0 / jnp.maximum(jnp.diag(a), 1e-8)
     x = jnp.zeros_like(b)
     r = b
@@ -223,6 +220,33 @@ def _cg_solve(a: jnp.ndarray, b: jnp.ndarray, iters: int = 64) -> jnp.ndarray:
     return x
 
 
+def _inner_solve(a: jnp.ndarray, b: jnp.ndarray, solver: str) -> jnp.ndarray:
+    """Damped-normal-equation solve, selectable (tools/exp_ba_solver.py).
+
+    'chol' is the default for the rigs this framework targets (7N <= 448
+    unknowns): inside the fused LM while_loop a dense Cholesky of the
+    already-Jacobi-scaled SPD system has no dispatch overhead and no
+    64-deep sequential matvec chain (the prior CG-64).  An earlier ~82ms
+    reading for a dense solve was a standalone dispatch through the axon
+    tunnel (sync-latency, not compute).  'cg64'/'cg16' retained for
+    larger rigs and A/B runs."""
+    if solver == "chol":
+        # The gauge null space (global rotation) makes JTJ singular; CG
+        # never leaves the range space (b = J^T r is orthogonal to the
+        # null space) but a float32 Cholesky at lam ~ 1e-7 would amplify
+        # null-space noise by 1/lam.  The system is Jacobi-scaled to unit
+        # diagonal, so a 1e-5 jitter floor bounds the condition number at
+        # ~1e5 while perturbing genuine steps negligibly.
+        a = a + 1e-5 * jnp.eye(a.shape[0], dtype=a.dtype)
+        cf = jax.scipy.linalg.cho_factor(a)
+        return jax.scipy.linalg.cho_solve(cf, b)
+    if solver == "lu":
+        return jnp.linalg.solve(a, b)
+    if solver == "cg16":
+        return _cg_solve(a, b, iters=16)
+    return _cg_solve(a, b, iters=64)
+
+
 @functools.partial(jax.jit, static_argnames=("cost",))
 def _eval_cost(params, cam_i, cam_j, p_i, p_j, w, *, cost: str):
     def per_corr(ci, cj, pi, pj, wi):
@@ -232,9 +256,11 @@ def _eval_cost(params, cam_i, cam_j, p_i, p_j, w, *, cost: str):
     return jnp.sum(res * res)
 
 
-@functools.partial(jax.jit, static_argnames=("cost", "n_cams", "max_iters"))
+@functools.partial(jax.jit, static_argnames=("cost", "n_cams", "max_iters",
+                                             "solver"))
 def _lm_solve_device(params, cam_i, cam_j, p_i, p_j, w, free_mask, *,
-                     cost: str, n_cams: int, max_iters: int):
+                     cost: str, n_cams: int, max_iters: int,
+                     solver: str = "chol"):
     """The whole LM loop as one device program (lax.while_loop).
 
     On axon every host sync costs ~25ms; the host-driven loop paid 2+
@@ -257,7 +283,7 @@ def _lm_solve_device(params, cam_i, cam_j, p_i, p_j, w, free_mask, *,
         precond = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-8))
         a = jtj * precond[:, None] * precond[None, :]
         a = a + lam * jnp.eye(a.shape[0])
-        stp = precond * _cg_solve(a, precond * jtr)
+        stp = precond * _inner_solve(a, precond * jtr, solver)
         new_p = p - stp.reshape(p.shape)
         new_c = _eval_cost(new_p, cam_i, cam_j, p_i, p_j, w, cost=cost)
         accept = jnp.isfinite(new_c) & (new_c < c)
@@ -415,11 +441,17 @@ def bundle_adjust(cams: Cameras, problem: Optional[BAProblem],
     n = len(cams)
     params = _params_from_cameras(cams)
     free = jnp.asarray(_free_mask(n, refine_mask))
+    # Dense Cholesky for the rigs this targets (<= 64 cams, 7N <= 448
+    # unknowns); CG for anything larger where a dense factor would not
+    # fit the depth budget.  STITCH_BA_SOLVER overrides for A/B runs.
+    import os as _os
+    solver = _os.environ.get("STITCH_BA_SOLVER",
+                             "chol" if n <= 64 else "cg64")
     params = _lm_solve_device(
         params, jnp.asarray(problem.cam_i), jnp.asarray(problem.cam_j),
         jnp.asarray(problem.p_i), jnp.asarray(problem.p_j),
         jnp.asarray(problem.w), free, cost=cost_func, n_cams=n,
-        max_iters=max_iters)
+        max_iters=max_iters, solver=solver)
 
     if not np.all(np.isfinite(np.asarray(params))):
         raise RuntimeError("Camera parameters adjusting failed.")

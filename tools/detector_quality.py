@@ -136,6 +136,10 @@ def main():
         "orb": (lambda: cv2.ORB_create(N_FEATURES), cv2.NORM_HAMMING),
         "sift": (lambda: cv2.SIFT_create(N_FEATURES), cv2.NORM_L2),
     }
+    only = os.environ.get("DQ_FAMILIES", "")
+    if only:
+        keep = set(only.split(","))
+        ours = {k: v for k, v in ours.items() if k in keep}
     seeds = [21, 22, 23]
     rows = []
     for name, det in ours.items():
