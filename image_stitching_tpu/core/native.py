@@ -73,7 +73,7 @@ if lib is not None:
                                            ctypes.POINTER(c_int)]
     lib.sr_read_jpeg_raw.argtypes = [c_char_p, u8_p, ctypes.c_int64,
                                      ctypes.POINTER(c_int),
-                                     ctypes.POINTER(c_int)]
+                                     ctypes.POINTER(c_int), c_int]
     lib.sr_decode_start.restype = ctypes.c_void_p
     lib.sr_decode_wait.argtypes = [ctypes.c_void_p, c_int]
     lib.sr_decode_finish.argtypes = [ctypes.c_void_p]
@@ -110,30 +110,34 @@ def probe_jpeg_sampling(path: str) -> Optional[Tuple[int, int, bool]]:
     return (w.value, h.value, bool(s.value))
 
 
-def yuv420_layout(w: int, h: int) -> Tuple[int, int, int, int]:
-    """iMCU-aligned plane strides of the raw 4:2:0 decode:
-    (ya_w, ya_h, ca_w, ca_h); packed buffer = ya_w*ya_h + 2*ca_w*ca_h."""
-    ya_w = -(-w // 16) * 16
-    ya_h = -(-h // 16) * 16
+def yuv420_layout(w: int, h: int,
+                  num8: int = 8) -> Tuple[int, int, int, int]:
+    """iMCU-aligned plane strides of the raw 4:2:0 decode at scale
+    num8/8: (ya_w, ya_h, ca_w, ca_h); packed buffer =
+    ya_w*ya_h + 2*ca_w*ca_h.  w/h are the FULL (unscaled) dims."""
+    ya_w = -(-w // 16) * 2 * num8
+    ya_h = -(-h // 16) * 2 * num8
     return (ya_w, ya_h, ya_w // 2, ya_h // 2)
 
 
-def read_jpeg_yuv420(path: str) -> Optional[Tuple[np.ndarray, int, int]]:
-    """Raw-plane 4:2:0 decode: (packed u8 buffer, w, h); None on
-    unavailability or unsupported sampling.  Plane layout per
-    `yuv420_layout` (Y, Cb, Cr, iMCU-aligned strides)."""
+def read_jpeg_yuv420(path: str,
+                     num8: int = 8) -> Optional[Tuple[np.ndarray, int, int]]:
+    """Raw-plane 4:2:0 decode at DCT scale num8/8: (packed u8 buffer,
+    w, h) with w/h the SCALED output dims; None on unavailability or
+    unsupported sampling.  Plane layout per `yuv420_layout` (Y, Cb, Cr,
+    iMCU-aligned strides at the scaled size)."""
     if lib is None:
         return None
     probe = probe_jpeg_sampling(path)
     if probe is None or not probe[2]:
         return None
     w0, h0, _ = probe
-    ya_w, ya_h, ca_w, ca_h = yuv420_layout(w0, h0)
+    ya_w, ya_h, ca_w, ca_h = yuv420_layout(w0, h0, num8)
     out = np.empty(ya_w * ya_h + 2 * ca_w * ca_h, np.uint8)
     w = ctypes.c_int()
     h = ctypes.c_int()
     rc = lib.sr_read_jpeg_raw(path.encode(), out, out.size,
-                              ctypes.byref(w), ctypes.byref(h))
+                              ctypes.byref(w), ctypes.byref(h), num8)
     if rc != 0:
         return None
     return out, w.value, h.value
@@ -244,7 +248,7 @@ class DecodeSession:
             if wh is None:
                 raise OSError(f"cannot probe {path}")
             if raw:
-                ya_w, ya_h, ca_w, ca_h = yuv420_layout(wh[0], wh[1])
+                ya_w, ya_h, ca_w, ca_h = yuv420_layout(wh[0], wh[1], num8)
                 arr = np.empty(ya_w * ya_h + 2 * ca_w * ca_h, np.uint8)
             else:
                 ow, oh = scaled_dims(wh[0], wh[1], num8)

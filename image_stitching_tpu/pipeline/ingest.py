@@ -130,6 +130,10 @@ class FastIngest:
     delta: bool = False  # stacks arrive row-delta-encoded (native encode)
     raw_yuv: bool = False  # stacks are packed 4:2:0 planes (flat u8)
     decode_hw: Tuple[int, int] = (0, 0)  # unoriented (h, w) at decode
+    raw_num8: int = 8      # DCT scale of the raw 4:2:0 decode
+    # Packed-plane layout of the raw decode: (ya_h, ya_w, h_d, w_d) —
+    # iMCU-aligned Y strides + valid (scaled) dims; chroma = halves.
+    raw_layout: Tuple[int, int, int, int] = (0, 0, 0, 0)
 
     def upload(self):
         """Wait for decodes in order and queue device uploads back-to-back
@@ -180,14 +184,16 @@ def start_fast_ingest(paths: Sequence[str], is_portrait: bool,
 
     gray_num8 = pick_num8(gray_scale) if want_gray else 8
     rgb_num8 = pick_num8(rgb_scale)
-    # Raw 4:2:0 plane decode (STITCH_RAW_YUV=0 to disable): when the RGB
-    # stream is needed at full decode scale and every file is an h2v2
-    # YCbCr JPEG, ship the codec's own Y/Cb/Cr planes — 1.5 bytes/px on
-    # the tunnel instead of 3 — and run libjpeg's fancy upsample +
-    # fixed-point color convert bit-exactly on device
-    # (yuv420_to_rgb_exact).  The Y plane IS the detection luma, so no
-    # separate gray stream is ever needed in this mode.
-    use_raw = (rgb_num8 == 8 and not _DELTA_UPLOAD and
+    # Raw 4:2:0 plane decode (STITCH_RAW_YUV=0 to disable): when every
+    # file is an h2v2 YCbCr JPEG, ship the codec's own Y/Cb/Cr planes at
+    # the largest needed scale — 1.5 bytes/px on the tunnel instead of 3
+    # — and run libjpeg's fancy upsample + fixed-point color convert on
+    # device (yuv420_to_rgb_exact; bit-exact at full scale, box-resampled
+    # chroma at reduced scales).  The Y plane IS the detection luma, so
+    # ONE entropy pass per file serves both streams (the two-stream
+    # decode paid the full Huffman decode twice per file — measured
+    # 696 -> 410 ms for 8x8MP at num8=4, tools/profile_ingest history).
+    use_raw = (not _DELTA_UPLOAD and
                os.environ.get("STITCH_RAW_YUV", "1") != "0")
     if use_raw:
         for p in paths:
@@ -196,15 +202,22 @@ def start_fast_ingest(paths: Sequence[str], is_portrait: bool,
                 use_raw = False
                 break
     if use_raw:
-        items = [(p, False, 8, True) for p in paths]
+        raw_num8 = max(gray_num8 if want_gray else 1, rgb_num8)
+        if raw_num8 % 2 == 1 and raw_num8 < 8:
+            raw_num8 += 1   # even scaled IDCTs are libjpeg's SIMD paths
+        items = [(p, False, raw_num8, True) for p in paths]
         try:
             session = native.DecodeSession(items, nthreads=nthreads)
         except OSError:
             return None
+        ya_w, ya_h, _, _ = native.yuv420_layout(w_dec, h_dec, raw_num8)
+        wd, hd = native.scaled_dims(w_dec, h_dec, raw_num8)
         return FastIngest(session=session, n=len(paths), want_gray=False,
-                          gray_from_rgb=want_gray, gray_num8=8,
-                          rgb_num8=8, full_sizes=[full] * len(paths),
-                          raw_yuv=True, decode_hw=(h_dec, w_dec))
+                          gray_from_rgb=want_gray, gray_num8=raw_num8,
+                          rgb_num8=raw_num8, full_sizes=[full] * len(paths),
+                          raw_yuv=True, decode_hw=(hd, wd),
+                          raw_num8=raw_num8,
+                          raw_layout=(ya_h, ya_w, hd, wd))
     # When the RGB stream already covers work scale, derive the detection
     # gray from it on device (fractional-valued like the legacy path, and
     # one decode pass instead of two).  A dedicated integer luma stream is
@@ -242,7 +255,7 @@ def _orient_stack(x: jnp.ndarray, is_portrait: bool) -> jnp.ndarray:
 def _fast_prep_impl(gray_stack, rgb_stack, *, is_portrait: bool,
                     work_hw: Tuple[int, int], seam_hw: Tuple[int, int],
                     gray_mode: str, delta: bool = False,
-                    raw_hw: Optional[Tuple[int, int]] = None):
+                    raw_hw: Optional[Tuple[int, int, int, int]] = None):
     from ..ops.imgproc import rgb_to_gray
     if delta:
         # Invert the upload row-delta: wrapping u8 prefix sum along W
@@ -255,11 +268,11 @@ def _fast_prep_impl(gray_stack, rgb_stack, *, is_portrait: bool,
     if raw_hw is not None:
         # rgb_stack is (N, L) packed 4:2:0 planes at iMCU-aligned strides
         # (core/native.py yuv420_layout); unpack, crop to valid dims, and
-        # run libjpeg's upsample+convert bit-exactly on device.
-        h_d, w_d = raw_hw
+        # run libjpeg's upsample+convert on device (bit-exact at full
+        # scale; box-resampled chroma at DCT-reduced scales).
+        # raw_hw = (ya_h, ya_w, h_d, w_d): aligned Y strides + valid dims.
+        ya_h, ya_w, h_d, w_d = raw_hw
         n_img = rgb_stack.shape[0]
-        ya_w = -(-w_d // 16) * 16
-        ya_h = -(-h_d // 16) * 16
         ca_w, ca_h = ya_w // 2, ya_h // 2
         ch_d, cw_d = (h_d + 1) // 2, (w_d + 1) // 2
         y_sz, c_sz = ya_w * ya_h, ca_w * ca_h
@@ -321,4 +334,4 @@ def fast_prep(fi: FastIngest, gray_stack, rgb_stack, is_portrait: bool,
         gray_stack if gray_stack is not None else jnp.zeros((1, 1, 1)),
         rgb_stack, is_portrait=is_portrait, work_hw=work_hw,
         seam_hw=seam_hw, gray_mode=gray_mode, delta=fi.delta,
-        raw_hw=fi.decode_hw if fi.raw_yuv else None)
+        raw_hw=fi.raw_layout if fi.raw_yuv else None)

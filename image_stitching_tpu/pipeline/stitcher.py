@@ -55,6 +55,10 @@ class StitchResult:
     cameras: Cameras
     stage_times: Dict[str, float]
     timelapse_frames: List[str] = dataclasses.field(default_factory=list)
+    work_scale: float = 1.0          # the ACTUAL work scale used (after
+                                     # work_scale_snap); cameras are at
+                                     # this scale (reference semantics,
+                                     # image_stitching.cpp:626-638)
 
 
 def detect_features(gray, cfg: StitchConfig) -> Features:
@@ -165,6 +169,18 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
         area0 = full_sizes[0][0] * full_sizes[0][1]
         work_scale = 1.0 if cfg.work_megapix < 0 else min(
             1.0, float(np.sqrt(cfg.work_megapix * 1e6 / area0)))
+        if cfg.work_scale_snap and work_scale < 1.0:
+            # Snap UP to the decoder's num8/8 grid (never below the
+            # requested work_megapix): the detection luma then decodes
+            # exactly at work scale — no device resize, and the raw-plane
+            # single-pass decode (pipeline/ingest.py) applies.  Even num8
+            # preferred: libjpeg-turbo's even scaled IDCTs are the SIMD
+            # paths (measured ~1.6x faster than odd at these sizes).
+            from .ingest import pick_num8
+            num8 = pick_num8(work_scale)
+            if num8 % 2 == 1 and num8 < 8:
+                num8 += 1
+            work_scale = num8 / 8.0
         seam_scale = min(1.0, float(np.sqrt(cfg.seam_megapix * 1e6 /
                                             area0)))
         seam_work_aspect = seam_scale / work_scale
@@ -593,7 +609,7 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
     result = StitchResult(
         panorama=pano, mask=pano_mask, kept_indices=list(indices),
         cameras=cameras, stage_times=times,
-        timelapse_frames=timelapse_frames)
+        timelapse_frames=timelapse_frames, work_scale=work_scale)
 
     if not cfg.timelapse:
         out = output if output is not None else cfg.result_name

@@ -189,13 +189,21 @@ int sr_probe_jpeg_sampling(const char* path, int* w, int* h,
 // host — both run on device instead (pipeline/ingest.py replicates
 // libjpeg's fancy (triangle) upsample and fixed-point color convert
 // bit-exactly), and the upload ships 1.5 bytes/px instead of 3.
+// num8 in 1..8 selects the DCT-scaled decode at num8/8 per axis (the
+// scaled IDCT runs per component, so raw output composes with scaling);
+// one entropy pass yields BOTH the detection luma (Y) and the chroma
+// for device RGB reconstruction — the two-stream decode paid the full
+// Huffman decode twice per file.
 // out layout (packed, row-major): Y plane (ya_h x ya_w), Cb then Cr
-// (ca_h x ca_w) where ya_w = ceil(w/16)*16, ya_h = ceil(h/16)*16,
-// ca_* = ya_* / 2 (iMCU-aligned strides; rows/cols beyond the image
-// carry codec padding).  cap must be ya_w*ya_h + 2*ca_w*ca_h.
-// Returns 0 on success, -5 if the file is not h2v2 YCbCr.
+// (ca_h x ca_w) where ya_w = ceil(w/16)*2*num8, ya_h = ceil(h/16)*2*num8,
+// ca_* = ya_* / 2 (iMCU-aligned strides at the scaled size; rows/cols
+// beyond the image carry codec padding).  cap must be
+// ya_w*ya_h + 2*ca_w*ca_h.  Returns 0 on success, -5 if the file is not
+// h2v2 YCbCr, -6 if libjpeg's scaled raw geometry differs from the
+// num8-derived layout (caller falls back to the two-stream decode).
 int sr_read_jpeg_raw(const char* path, uint8_t* out, int64_t cap,
-                     int* w, int* h) {
+                     int* w, int* h, int num8) {
+    if (num8 < 1 || num8 > 8) num8 = 8;
     FILE* f = fopen(path, "rb");
     if (!f) return -1;
     jpeg_decompress_struct cinfo;
@@ -223,11 +231,16 @@ int sr_read_jpeg_raw(const char* path, uint8_t* out, int64_t cap,
         return -5;
     }
     cinfo.raw_data_out = TRUE;
+    cinfo.scale_num = num8;
+    cinfo.scale_denom = 8;
     jpeg_start_decompress(&cinfo);
-    const int width = cinfo.output_width;
+    const int width = cinfo.output_width;    // ceil(w * num8 / 8)
     const int height = cinfo.output_height;
-    const int ya_w = ((width + 15) / 16) * 16;
-    const int ya_h = ((height + 15) / 16) * 16;
+    const int mcu_y = 2 * num8;              // Y rows per iMCU row
+    const int mcus_x = (cinfo.image_width + 15) / 16;
+    const int mcus_y = (cinfo.image_height + 15) / 16;
+    const int ya_w = mcus_x * mcu_y;
+    const int ya_h = mcus_y * mcu_y;
     const int ca_w = ya_w / 2;
     const int ca_h = ya_h / 2;
     if (int64_t(ya_w) * ya_h + 2 * int64_t(ca_w) * ca_h > cap) {
@@ -235,28 +248,91 @@ int sr_read_jpeg_raw(const char* path, uint8_t* out, int64_t cap,
         fclose(f);
         return -3;
     }
+    // At num8 == 8 turbo keeps chroma subsampled (DCT_scaled_size 8); at
+    // num8 < 8 it renders chroma via a 2*num8 scaled IDCT to FULL output
+    // size (initial_setup's "scale up the chroma components via IDCT
+    // scaling").  The packed output layout is always 4:2:0, so the
+    // full-size chroma case box-averages 2x2 on this (decode worker)
+    // thread — still one entropy pass per file, 1.5 bytes/px shipped.
+    const int cdct = cinfo.comp_info[1].DCT_scaled_size;
+    const int c_rows_mcu = cinfo.comp_info[1].v_samp_factor * cdct;
+    const bool c_full = (cdct == mcu_y);
+    if (!c_full && cdct != num8) {   // unexpected geometry — bail out
+        jpeg_destroy_decompress(&cinfo);
+        fclose(f);
+        return -6;
+    }
     *w = width;
     *h = height;
     uint8_t* yp = out;
     uint8_t* cbp = out + size_t(ya_w) * ya_h;
     uint8_t* crp = cbp + size_t(ca_w) * ca_h;
-    JSAMPROW yrows[16], cbrows[8], crrows[8];
-    JSAMPARRAY planes[3] = {yrows, cbrows, crrows};
-    // libjpeg writes width_in_blocks*8 samples per row, which can be less
-    // than the iMCU-aligned stride for widths not a multiple of 16; the
-    // consumer only reads the valid wxh (ceil/2 for chroma) region.
+    std::vector<JSAMPROW> yrows(mcu_y), cbrows(c_rows_mcu),
+        crrows(c_rows_mcu);
+    JSAMPARRAY planes[3] = {yrows.data(), cbrows.data(), crrows.data()};
+    // Scratch for full-size chroma iMCU rows (c_full case).
+    std::vector<uint8_t> cb_tmp, cr_tmp;
+    if (c_full) {
+        cb_tmp.resize(size_t(ya_w) * c_rows_mcu);
+        cr_tmp.resize(size_t(ya_w) * c_rows_mcu);
+    }
+    // libjpeg writes width_in_blocks*DCT_scaled samples per row, which can
+    // be less than the iMCU-aligned stride for widths not a multiple of
+    // 16; the consumer only reads the valid wxh (ceil/2 for chroma)
+    // region.
     while (cinfo.output_scanline < cinfo.output_height) {
-        int base_y = cinfo.output_scanline;      // multiple of 16
-        for (int r = 0; r < 16; ++r)
+        int base_y = cinfo.output_scanline;      // multiple of mcu_y
+        for (int r = 0; r < mcu_y; ++r)
             yrows[r] = yp + size_t(std::min(base_y + r, ya_h - 1)) * ya_w;
-        int base_c = base_y / 2;
-        for (int r = 0; r < 8; ++r) {
-            cbrows[r] = cbp +
-                size_t(std::min(base_c + r, ca_h - 1)) * ca_w;
-            crrows[r] = crp +
-                size_t(std::min(base_c + r, ca_h - 1)) * ca_w;
+        if (c_full) {
+            for (int r = 0; r < c_rows_mcu; ++r) {
+                cbrows[r] = cb_tmp.data() + size_t(r) * ya_w;
+                crrows[r] = cr_tmp.data() + size_t(r) * ya_w;
+            }
+        } else {
+            int base_c = base_y / 2;
+            for (int r = 0; r < c_rows_mcu; ++r) {
+                cbrows[r] = cbp +
+                    size_t(std::min(base_c + r, ca_h - 1)) * ca_w;
+                crrows[r] = crp +
+                    size_t(std::min(base_c + r, ca_h - 1)) * ca_w;
+            }
         }
-        jpeg_read_raw_data(&cinfo, planes, 16);
+        JDIMENSION got = jpeg_read_raw_data(&cinfo, planes, mcu_y);
+        if (got == 0 || int(got) > mcu_y) {
+            jpeg_destroy_decompress(&cinfo);
+            fclose(f);
+            return -6;
+        }
+        if (c_full) {
+            // Box-average the full-size chroma rows 2x2 into the packed
+            // subsampled planes.  Valid output: ceil(height/2) rows x
+            // ceil(width/2) cols; odd edges clamp (duplicate last
+            // row/col) so codec padding never contaminates valid pixels.
+            int out_rows = (int(got) + 1) / 2;   // odd tail row included
+            int base_c = base_y / 2;
+            for (int rr = 0; rr < out_rows; ++rr) {
+                int src0 = 2 * rr;
+                int src1 = std::min(2 * rr + 1, height - 1 - base_y);
+                if (src1 < src0) src1 = src0;
+                int dst = std::min(base_c + rr, ca_h - 1);
+                const uint8_t* cb0 = cb_tmp.data() + size_t(src0) * ya_w;
+                const uint8_t* cb1 = cb_tmp.data() + size_t(src1) * ya_w;
+                const uint8_t* cr0 = cr_tmp.data() + size_t(src0) * ya_w;
+                const uint8_t* cr1 = cr_tmp.data() + size_t(src1) * ya_w;
+                uint8_t* ob = cbp + size_t(dst) * ca_w;
+                uint8_t* orr = crp + size_t(dst) * ca_w;
+                int half_w = (width + 1) / 2;
+                for (int x = 0; x < half_w; ++x) {
+                    int x0 = 2 * x;
+                    int x1 = std::min(2 * x + 1, width - 1);
+                    ob[x] = uint8_t((cb0[x0] + cb0[x1] + cb1[x0] +
+                                     cb1[x1] + 2) >> 2);
+                    orr[x] = uint8_t((cr0[x0] + cr0[x1] + cr1[x0] +
+                                      cr1[x1] + 2) >> 2);
+                }
+            }
+        }
     }
     jpeg_finish_decompress(&cinfo);
     jpeg_destroy_decompress(&cinfo);
@@ -514,7 +590,7 @@ static void decode_one(DecodeSession* s, int i) {
     if (f) fclose(f);
     if (got == 2 && magic[0] == 0xFF && magic[1] == 0xD8 && s->raw[i]) {
         rc = sr_read_jpeg_raw(p, s->outs[i], s->caps[i], s->ws + i,
-                              s->hs + i);
+                              s->hs + i, s->num8[i]);
     } else if (got == 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
         rc = sr_read_jpeg_opts(p, s->outs[i], s->caps[i], s->ws + i,
                                s->hs + i, s->gray[i], s->num8[i]);

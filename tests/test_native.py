@@ -206,6 +206,63 @@ def test_raw_yuv420_decode_bit_exact(tmp_path, rng):
     s.finish()
 
 
+def test_raw_yuv420_scaled_decode(tmp_path, rng):
+    """DCT-scaled raw 4:2:0 decode (one entropy pass per file): the Y
+    plane must be BIT-EXACT vs the dedicated luma-only decode at the same
+    num8 (the detection path), and the device RGB reconstruction must
+    stay within a small tolerance of libjpeg's own scaled RGB decode
+    (chroma is IDCT-upsampled by libjpeg at num8<8, box-resampled to
+    4:2:0 on the worker thread, fancy-upsampled back on device)."""
+    import jax.numpy as jnp
+    from image_stitching_tpu.pipeline.ingest import yuv420_to_rgb_exact
+    for hw, num8 in (((61, 77), 4), ((64, 96), 6), ((49, 129), 2),
+                     ((80, 112), 5)):
+        # Smooth content + structure: box-resampled chroma error is
+        # content-dependent; keep the oracle gap tight but honest.
+        base = rng.integers(0, 255, (8, 10, 3)).astype(np.uint8)
+        img = np.asarray(Image.fromarray(base).resize(
+            (hw[1], hw[0]), Image.BILINEAR), np.float32)
+        img = np.clip(img + rng.normal(0, 4, (*hw, 3)),
+                      0, 255).astype(np.uint8)
+        p = str(tmp_path / f"sr_{hw[0]}x{hw[1]}_{num8}.jpg")
+        Image.fromarray(img).save(p, quality=92)
+        got = native.read_jpeg_yuv420(p, num8)
+        assert got is not None
+        buf, w, h = got
+        assert (w, h) == native.scaled_dims(hw[1], hw[0], num8)
+        ya_w, ya_h, ca_w, ca_h = native.yuv420_layout(hw[1], hw[0], num8)
+        y_sz, c_sz = ya_w * ya_h, ca_w * ca_h
+        y = buf[:y_sz].reshape(ya_h, ya_w)[:h, :w]
+        cb = buf[y_sz:y_sz + c_sz].reshape(
+            ca_h, ca_w)[:(h + 1) // 2, :(w + 1) // 2]
+        cr = buf[y_sz + c_sz:].reshape(
+            ca_h, ca_w)[:(h + 1) // 2, :(w + 1) // 2]
+        gray_ref = native.read_image_opts(p, gray=True, num8=num8)
+        assert np.array_equal(y, gray_ref), (hw, num8)
+        rgb_dev = np.asarray(yuv420_to_rgb_exact(
+            jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr))).astype(
+                np.float32)
+        # RGB criterion: both our reconstruction and libjpeg's own scaled
+        # RGB decode are approximations of the TRUE reference path
+        # (full-res decode -> resize, image_stitching.cpp:602); ours must
+        # not be meaningfully worse an approximation than libjpeg's.
+        from image_stitching_tpu.ops.imgproc import resize
+        rgb_scaled = native.read_image_opts(
+            p, gray=False, num8=num8).astype(np.float32)
+        full = native.read_image(p).astype(np.float32)
+        gt = np.asarray(resize(jnp.asarray(full), (h, w)))
+        e_ours = float(np.abs(rgb_dev - gt).mean())
+        e_libjpeg = float(np.abs(rgb_scaled - gt).mean())
+        assert e_ours <= 1.35 * e_libjpeg + 1.0, (hw, num8, e_ours,
+                                                  e_libjpeg)
+        # DecodeSession raw item at the same scale -> same packed planes.
+        s = native.DecodeSession([(p, False, num8, True)], nthreads=1)
+        buf2 = s.wait(0)
+        assert np.array_equal(buf[:y_sz].reshape(ya_h, ya_w)[:h, :w],
+                              buf2[:y_sz].reshape(ya_h, ya_w)[:h, :w])
+        s.finish()
+
+
 def test_decode_session_delta_encode_roundtrip(tmp_path, rng):
     """Native delta_rows == numpy wrapping row-diff; exact mod-256
     inversion with a u8 prefix sum (the device-side decode)."""

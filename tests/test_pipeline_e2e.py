@@ -228,6 +228,46 @@ def test_fast_ingest_raw_yuv_parity(capture_dir, tmp_path):
     assert best < 8.0, best
 
 
+def test_work_scale_snap_scaled_raw_ingest(capture_dir, tmp_path):
+    """work_megapix > 0 with work_scale_snap: the work scale snaps UP to
+    the decoder's (even) num8/8 grid, the fast path takes the single-pass
+    scaled raw 4:2:0 decode, and the result stays geometrically faithful
+    to the legacy full-RGB path."""
+    d, images, k, rs = capture_dir
+    h, w = HW
+    mp = h * w / 1e6
+    results = {}
+    for fast in (False, True):
+        run = tmp_path / ("fast" if fast else "legacy")
+        run.mkdir()
+        os.chdir(run)
+        cfg = small_cfg(checkpoint_dir=str(run), fast_ingest=fast,
+                        work_megapix=mp * 0.3, seam_megapix=0.02)
+        results[fast] = stitch(d, cfg, output="")
+    a, b = results[False], results[True]
+    assert a.kept_indices == b.kept_indices
+    # sqrt(0.3) ~ 0.548 snaps up to 6/8 on the num8 grid (even-preferred)
+    assert abs(a.work_scale - 0.75) < 1e-9
+    assert abs(b.work_scale - 0.75) < 1e-9
+    # Both ingest paths see slightly different work luma (DCT-scaled
+    # codec Y vs bilinear-resized fractional gray), so compare each to
+    # the GROUND TRUTH relative rotations: the fast path must be as
+    # geometrically accurate as the legacy one (within noise).
+    def gt_err_deg(res):
+        rc = np.asarray(res.cameras.R, np.float64)
+        errs = []
+        for i in range(len(res.kept_indices) - 1):
+            ia, ib = res.kept_indices[i], res.kept_indices[i + 1]
+            rel_est = rc[i + 1].T @ rc[i]
+            rel_gt = np.asarray(rs[ib], np.float64).T @ np.asarray(
+                rs[ia], np.float64)
+            errs.append(np.degrees(np.arccos(np.clip(
+                (np.trace(rel_est.T @ rel_gt) - 1) / 2, -1, 1))))
+        return float(np.mean(errs))
+    e_legacy, e_fast = gt_err_deg(a), gt_err_deg(b)
+    assert e_fast < max(1.0, 1.5 * e_legacy + 0.25), (e_fast, e_legacy)
+
+
 def test_fast_ingest_scaled_decode_parity(capture_dir, tmp_path):
     """fast_ingest with capped compose/work megapix (DCT-scaled RGB +
     luma-only gray decode) stitches the same panorama as the legacy
