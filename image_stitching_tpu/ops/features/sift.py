@@ -33,12 +33,14 @@ _CONTRAST = 3.4
 _EDGE_R = 10.0
 
 
-def _dog_stack(img: jnp.ndarray):
-    """One octave: blurred stack (s+3) and DoG stack (s+2)."""
+def _dog_stack(img: jnp.ndarray, sigma_prev: float = 0.5):
+    """One octave: blurred stack (s+3) and DoG stack (s+2).
+
+    sigma_prev: assumed blur of the input (0.5 for a camera image; 1.0
+    for the 2x-upsampled base octave, cv2's firstOctave=-1)."""
     k = 2.0 ** (1.0 / _N_SPO)
     gauss = []
     cur = img
-    sigma_prev = 0.5
     for i in range(_N_SPO + 3):
         sigma_total = _SIGMA0 * (k ** i)
         sigma_diff = math.sqrt(max(sigma_total ** 2 - sigma_prev ** 2, 0.01))
@@ -130,68 +132,130 @@ def _dominant_orientation(gx, gy, lvl, xy, radius: int):
     kern = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
     idx = (jnp.arange(36)[:, None] + jnp.arange(-2, 3)[None, :]) % 36
     hist = (hist[:, idx] * kern[None, None, :]).sum(-1)
+
+    def refine(peak):
+        hl = jnp.take_along_axis(hist, ((peak - 1) % 36)[:, None], 1)[:, 0]
+        hc = jnp.take_along_axis(hist, peak[:, None], 1)[:, 0]
+        hr = jnp.take_along_axis(hist, ((peak + 1) % 36)[:, None], 1)[:, 0]
+        denom = hl - 2 * hc + hr
+        delta = jnp.where(jnp.abs(denom) > 1e-6,
+                          0.5 * (hl - hr) / jnp.where(
+                              jnp.abs(denom) > 1e-6, denom, 1.0), 0.0)
+        pk = peak.astype(jnp.float32) + jnp.clip(delta, -0.5, 0.5)
+        return (pk + 0.5) / 36.0 * 2 * jnp.pi - jnp.pi
+
     peak = jnp.argmax(hist, axis=1)
-    hl = jnp.take_along_axis(hist, ((peak - 1) % 36)[:, None], 1)[:, 0]
-    hc = jnp.take_along_axis(hist, peak[:, None], 1)[:, 0]
-    hr = jnp.take_along_axis(hist, ((peak + 1) % 36)[:, None], 1)[:, 0]
-    denom = hl - 2 * hc + hr
-    delta = jnp.where(jnp.abs(denom) > 1e-6,
-                      0.5 * (hl - hr) / jnp.where(
-                          jnp.abs(denom) > 1e-6, denom, 1.0), 0.0)
-    delta = jnp.clip(delta, -0.5, 0.5)
-    pk = peak.astype(jnp.float32) + delta
-    return (pk + 0.5) / 36.0 * 2 * jnp.pi - jnp.pi
+    # Second orientation (cv2 duplicates a keypoint for every local
+    # histogram max >= 0.8 * peak — we keep the strongest second one):
+    # a circular local max, not adjacent to the primary peak.
+    left = jnp.roll(hist, 1, axis=1)
+    right = jnp.roll(hist, -1, axis=1)
+    localmax = (hist > left) & (hist >= right)
+    bins = jnp.arange(36)[None, :]
+    dist = jnp.abs((bins - peak[:, None] + 18) % 36 - 18)
+    cand = jnp.where(localmax & (dist > 1), hist, -1.0)
+    peak2 = jnp.argmax(cand, axis=1)
+    val1 = jnp.take_along_axis(hist, peak[:, None], 1)[:, 0]
+    val2 = jnp.take_along_axis(cand, peak2[:, None], 1)[:, 0]
+    has2 = val2 >= 0.8 * val1
+    return refine(peak), refine(peak2), has2
 
 
-@functools.partial(jax.jit, static_argnames=("width",))
-def _sift_descriptor(gx, gy, lvl, xy, angle, width: int = 8):
-    """4x4x8 descriptor from a (4*width)^2 rotated window.
+_GRID = 8             # samples per cell axis (grid = 4*_GRID x 4*_GRID);
+                      # sample spacing = hist_width/8 in (0.6, 1.2) px —
+                      # the same density as cv2's per-pixel iteration
+_SCL_FCTR = 3.0       # cv2 SIFT_DESCR_SCL_FCTR: hist_width = 3 * scl_octv
 
-    gx/gy: (L, H, W) per-level gradient stacks, indexed by each
-    keypoint's scale level.  Orientation is soft-assigned between the
-    two nearest of the 8 bins (hard spatial cells; the dominant
-    quality lever vs the previous nearest-bin scatter)."""
-    half = 2 * width
-    ys, xs = np.mgrid[-half:half, -half:half] + 0.5
+
+def _descr_grid():
+    """Static rotated-frame sampling grid in CELL units, with its soft
+    spatial-binning matrix.  Returns (offs_units (S, 2) float32,
+    cell_w (S, 16) float32): sample s contributes cell_w[s, c] of its
+    (orientation-binned) magnitude to spatial cell c — Lowe's bilinear
+    spatial interpolation, static because the grid is fixed in cell
+    units (the per-keypoint scale only stretches the PIXEL positions).
+    Includes the descriptor Gaussian (sigma = 2 cells = half window)."""
+    n = 4 * _GRID
+    ys, xs = (np.mgrid[0:n, 0:n] + 0.5) / _GRID - 2.0   # cells in (-2, 2)
     offs = np.stack([xs.ravel(), ys.ravel()], -1).astype(np.float32)
-    offs_j = jnp.asarray(offs)
-    pad = int(half * 1.5) + 2
+    gauss = np.exp(-(offs[:, 0] ** 2 + offs[:, 1] ** 2) /
+                   (2 * 2.0 * 2.0)).astype(np.float32)
+    cbin = offs[:, 0] + 1.5      # continuous cell coords, centers 0..3
+    rbin = offs[:, 1] + 1.5
+    c0 = np.floor(cbin).astype(np.int64)
+    r0 = np.floor(rbin).astype(np.int64)
+    fc = (cbin - c0).astype(np.float32)
+    fr = (rbin - r0).astype(np.float32)
+    s = offs.shape[0]
+    cell_w = np.zeros((s, 16), np.float32)
+    for dr, dc in ((0, 0), (0, 1), (1, 0), (1, 1)):
+        rr = r0 + dr
+        cc = c0 + dc
+        wgt = (np.where(dr, fr, 1 - fr) * np.where(dc, fc, 1 - fc) *
+               gauss)
+        ok = (rr >= 0) & (rr < 4) & (cc >= 0) & (cc < 4)
+        idx = np.clip(rr, 0, 3) * 4 + np.clip(cc, 0, 3)
+        np.add.at(cell_w, (np.arange(s), idx), np.where(ok, wgt, 0.0))
+    return jnp.asarray(offs), jnp.asarray(cell_w)
+
+
+@jax.jit
+def _sift_descriptor(gx, gy, lvl, xy, angle, scl):
+    """4x4x8 descriptor, Lowe/OpenCV semantics (calcSIFTDescriptor,
+    the reference's SIFT alternative `image_stitching.cpp:557-560`):
+
+    * scale-adaptive window: hist_width = 3 * scl_octv per keypoint
+      (cv2's SIFT_DESCR_SCL_FCTR), so the descriptor measures the same
+      physical neighborhood regardless of the keypoint's sigma — a fixed
+      window over/under-sampled off-center scales;
+    * gradients bilinearly sampled at the fractional rotated positions
+      (nearest-pixel rounding aliased the rotated grid);
+    * trilinear soft binning: bilinear in the spatial cells (a static
+      matrix — the grid is fixed in cell units) x linear in orientation.
+    The spatial contraction is one (S, 16) matmul, not a scatter.
+    """
+    offs_units, cell_w = _descr_grid()                   # (S, 2), (S, 16)
+    pad = 32           # max pixel radius: 2 cells * hist_width<=9.6 * 1.5
     gxp = jnp.pad(gx, ((0, 0), (pad, pad), (pad, pad)))
     gyp = jnp.pad(gy, ((0, 0), (pad, pad), (pad, pad)))
 
-    ca, sa = jnp.cos(angle), jnp.sin(angle)         # (K,)
-    rx = ca[:, None] * offs_j[None, :, 0] - sa[:, None] * offs_j[None, :, 1]
-    ry = sa[:, None] * offs_j[None, :, 0] + ca[:, None] * offs_j[None, :, 1]
-    sxf = xy[:, 0:1] + rx
-    syf = xy[:, 1:2] + ry
-    sxi = jnp.round(sxf).astype(jnp.int32) + pad
-    syi = jnp.round(syf).astype(jnp.int32) + pad
+    hist_width = jnp.clip(_SCL_FCTR * scl, 1.0, 9.6)[:, None]   # (K, 1)
+    ca, sa = jnp.cos(angle), jnp.sin(angle)              # (K,)
+    px = offs_units[None, :, 0] * hist_width             # pixel offsets
+    py = offs_units[None, :, 1] * hist_width
+    rx = ca[:, None] * px - sa[:, None] * py
+    ry = sa[:, None] * px + ca[:, None] * py
+    sxf = xy[:, 0:1] + rx + pad
+    syf = xy[:, 1:2] + ry + pad
+    x0 = jnp.floor(sxf)
+    y0 = jnp.floor(syf)
+    fx = sxf - x0
+    fy = syf - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
     sl = lvl[:, None].astype(jnp.int32)
-    gxs = gxp[sl, syi, sxi]
-    gys = gyp[sl, syi, sxi]
-    mag = jnp.sqrt(gxs ** 2 + gys ** 2)
-    # Gaussian weighting over the window (sigma = half the window),
-    # as in Lowe's descriptor.
-    wgt = jnp.asarray(np.exp(-(offs[:, 0] ** 2 + offs[:, 1] ** 2) /
-                             (2 * half * half)).astype(np.float32))
-    mag = mag * wgt[None, :]
+
+    def samp(p):
+        p00 = p[sl, y0i, x0i]
+        p01 = p[sl, y0i, x0i + 1]
+        p10 = p[sl, y0i + 1, x0i]
+        p11 = p[sl, y0i + 1, x0i + 1]
+        return (p00 * (1 - fx) * (1 - fy) + p01 * fx * (1 - fy) +
+                p10 * (1 - fx) * fy + p11 * fx * fy)
+    gxs = samp(gxp)
+    gys = samp(gyp)
+    mag = jnp.sqrt(gxs ** 2 + gys ** 2)                  # (K, S)
     ang = jnp.arctan2(gys, gxs) - angle[:, None]
     fob = jnp.mod(ang + 2 * jnp.pi, 2 * jnp.pi) / (2 * jnp.pi) * 8.0 - 0.5
-    ob0 = jnp.floor(fob).astype(jnp.int32)
+    ob0 = jnp.floor(fob)
     of = fob - ob0
-    ob0 = jnp.mod(ob0, 8)
-    ob1 = jnp.mod(ob0 + 1, 8)
-    # Spatial cell index per sample (static).
-    cell_x = np.clip(((offs[:, 0] + half) // width).astype(np.int64), 0, 3)
-    cell_y = np.clip(((offs[:, 1] + half) // width).astype(np.int64), 0, 3)
-    cell = jnp.asarray(cell_y * 4 + cell_x, jnp.int32)     # (S,)
-    bin0 = cell[None, :] * 8 + ob0                          # (K, S)
-    bin1 = cell[None, :] * 8 + ob1
-
-    def scatter(b0, b1, ff, mags):
-        return (jnp.zeros(128).at[b0].add(mags * (1 - ff))
-                .at[b1].add(mags * ff))
-    desc = jax.vmap(scatter)(bin0, bin1, of, mag)
+    ob0i = jnp.mod(ob0.astype(jnp.int32), 8)
+    # Dense orientation weights (K, S, 8): two taps per sample.
+    oh0 = jax.nn.one_hot(ob0i, 8, dtype=jnp.float32)
+    oh1 = jax.nn.one_hot(jnp.mod(ob0i + 1, 8), 8, dtype=jnp.float32)
+    mo = mag[..., None] * (oh0 * (1 - of[..., None]) +
+                           oh1 * of[..., None])          # (K, S, 8)
+    desc = jnp.einsum("sc,kso->kco", cell_w, mo).reshape(-1, 128)
     desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=1, keepdims=True),
                               1e-6)
     desc = jnp.minimum(desc, 0.2)
@@ -201,9 +265,10 @@ def _sift_descriptor(gx, gy, lvl, xy, angle, width: int = 8):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_features", "n_octaves", "base_hw"))
+                   static_argnames=("n_features", "n_octaves", "base_hw",
+                                    "upsample"))
 def _sift_impl(gray, *, n_features: int, n_octaves: int,
-               base_hw: Tuple[int, int]) -> Features:
+               base_hw: Tuple[int, int], upsample: bool = True) -> Features:
     h, w = base_hw
     # Every octave gets the FULL keypoint budget as candidate slots and a
     # global top-K (by |DoG| response) selects across octaves afterwards.
@@ -213,12 +278,23 @@ def _sift_impl(gray, *, n_features: int, n_octaves: int,
     per_oct = [n_features] * n_octaves
     outs = []
     img = gray.astype(jnp.float32)
+    if upsample:
+        # cv2 SIFT's firstOctave = -1: the base octave runs on the
+        # 2x-upsampled image (assumed blur 0.5 doubles to 1.0) — finer
+        # gradients make the descriptors measurably more discriminative.
+        img = resize(img, (2 * h, 2 * w))
     for o in range(n_octaves):
         oh, ow = img.shape
         if min(oh, ow) < 32:
             per_oct[o] = 0
         if per_oct[o] > 0:
-            gauss, dog = _dog_stack(img)
+            # Octave 0 input: camera blur 0.5 (doubled to 1.0 by the 2x
+            # upsample).  Later octaves chain from the decimated
+            # gauss[_N_SPO] (sigma 2*sigma0 -> sigma0 after 2x down),
+            # cv2's buildGaussianPyramid — decimating the RAW image
+            # aliased the upper octaves.
+            sp = ((1.0 if upsample else 0.5) if o == 0 else _SIGMA0)
+            gauss, dog = _dog_stack(img, sigma_prev=sp)
             ext = _extrema_mask(dog)
             resp = jnp.where(ext, jnp.abs(dog), 0.0)
             # Flatten (S, H, W) -> top-K.
@@ -272,9 +348,29 @@ def _sift_impl(gray, *, n_features: int, n_octaves: int,
             gx = jnp.stack([g[0] for g in gstack])
             gy = jnp.stack([g[1] for g in gstack])
             lvl = jnp.clip(sc, 1, _N_SPO) - 1
-            angle = _dominant_orientation(gx, gy, lvl, xy, 8)
-            desc = _sift_descriptor(gx, gy, lvl, xy, angle)
-            octave_scale = 2.0 ** o
+            angle, angle2, has2 = _dominant_orientation(gx, gy, lvl, xy, 8)
+            # Per-keypoint scale inside the octave (cv2's scl_octv =
+            # kpt.size * 0.5 / (1 << octave)): drives the descriptor's
+            # scale-adaptive window.
+            scl = _SIGMA0 * (2.0 ** ((sc.astype(jnp.float32) +
+                                      off3[:, 2]) / _N_SPO))
+            # Multi-orientation duplication (cv2 emits one keypoint per
+            # histogram peak >= 0.8 * max): the second-peak copies join
+            # the candidate pool and compete in the global top-K, ranked
+            # infinitesimally below their primaries.
+            xy = jnp.concatenate([xy, xy])
+            lvl = jnp.concatenate([lvl, lvl])
+            scl = jnp.concatenate([scl, scl])
+            angle = jnp.concatenate([angle, angle2])
+            valid = jnp.concatenate([valid, valid & has2])
+            vals = jnp.concatenate([vals, vals * (1.0 - 1e-6)])
+            sc = jnp.concatenate([sc, sc])
+            off3 = jnp.concatenate([off3, off3])
+            k_o = 2 * k_o
+            desc = _sift_descriptor(gx, gy, lvl, xy, angle, scl)
+            # Coordinates map back to ORIGINAL pixels (the upsampled
+            # base octave lives at 2x).
+            octave_scale = 2.0 ** o * (0.5 if upsample else 1.0)
             outs.append(Features(
                 xy=xy * octave_scale,
                 response=jnp.where(valid, vals, 0.0),
@@ -285,6 +381,7 @@ def _sift_impl(gray, *, n_features: int, n_octaves: int,
                       octave_scale * 2.0),
                 desc=desc,
                 valid=valid))
+            img = gauss[_N_SPO]      # chain the blurred pyramid (cv2)
         img = resize(img, (max(oh // 2, 1), max(ow // 2, 1)))
 
     out = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *outs)
@@ -302,9 +399,12 @@ def _sift_impl(gray, *, n_features: int, n_octaves: int,
 
 
 def sift_detect_and_describe(gray, n_features: int = 4000,
-                             n_octaves: int = 4) -> Features:
+                             n_octaves: int = 4,
+                             upsample: bool = False) -> Features:
     gray = jnp.asarray(gray)
-    n_octaves = min(n_octaves,
-                    max(1, int(np.log2(min(gray.shape[:2]) / 32)) + 1))
+    base_min = min(gray.shape[:2]) * (2 if upsample else 1)
+    n_octaves = min(n_octaves + (1 if upsample else 0),
+                    max(1, int(np.log2(base_min / 32)) + 1))
     return _sift_impl(gray, n_features=n_features, n_octaves=n_octaves,
-                      base_hw=(gray.shape[0], gray.shape[1]))
+                      base_hw=(gray.shape[0], gray.shape[1]),
+                      upsample=upsample)
