@@ -24,6 +24,7 @@ against the canvas grid, so the scan body compiles once regardless of N.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -161,47 +162,73 @@ def _interp_matrix(coords, n_src: int):
 
 
 def _warp_gain_seam(img, k, r, us, vs, scale, smask, stl, seam_ratio,
-                    gain, gain_grid, gain_roi, *, proj_bwd, gain_mode):
+                    gain, gain_grid, gain_roi, *, proj_bwd, gain_mode,
+                    use_pallas: bool = False):
     """Per-image compose sample on the warped-canvas grid us x vs (1-D).
 
-    Backward warp (bilinear/BORDER_REFLECT) + warp-validity mask + exposure
-    gain + seam-mask sampling via the warped-plane scale ratio.  Shared by
+    Backward warp (bilinear) + warp-validity mask + exposure gain +
+    seam-mask sampling via the warped-plane scale ratio.  Shared by
     the single-device fused scan body and the canvas-sharded local body so
-    both paths compose identically.  Returns (warped (..., 3), weight).
+    both paths compose identically.  Returns (warped PLANAR (3, h, w),
+    weight (h, w)).
 
     The gain and seam samples take SEPARABLE coordinates (functions of u
     alone / v alone on the regular canvas grid), so both are banded-matrix
-    products (`_interp_matrix`) on the MXU rather than gathers: 12 scalar
-    gathers/pixel -> 4, whole-compose sample 369 -> 101 ms at bench shapes
-    (tools/exp_sep_sample.py)."""
+    products (`_interp_matrix`) on the MXU rather than gathers.  With
+    use_pallas the image sample itself also leaves the gather unit: the
+    interp-matrix matmul kernel (kernels/warp_gather_pallas.py) measured
+    8 ms vs 314 ms for the 4-scalar-gather at bench shapes (same-window
+    A/B, tools/exp_warp_gather_pallas.py); a traced per-tile span check
+    falls back to the gather via lax.cond when the warp is too steep —
+    correctness never depends on the kernel geometry."""
     hc, wc = img.shape[0], img.shape[1]
     uu, vv = jnp.meshgrid(us, vs)
     sx, sy, valid = _backward_xy(proj_bwd, uu, vv, k, r, scale)
 
-    # BORDER_REFLECT bilinear image sample.  Four scalar gathers, NOT
-    # _patch_bilinear: inside this lax.scan body the (2,2,3)-slice gather
-    # lowers 10x slower (6.7s vs 0.58s whole-compose, measured) — the
-    # slice-gather only wins under vmap batching (_warp_stack).
-    def reflect(c, nn):
-        period = 2 * nn
-        c = jnp.mod(c, period)
-        return jnp.where(c >= nn, period - 1 - c, c)
-    x0 = jnp.floor(sx)
-    y0 = jnp.floor(sy)
-    fx = (sx - x0)[..., None]
-    fy = (sy - y0)[..., None]
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    x0r = reflect(x0i, wc)
-    x1r = reflect(x0i + 1, wc)
-    y0r = reflect(y0i, hc)
-    y1r = reflect(y0i + 1, hc)
-    i00 = img[y0r, x0r]
-    i01 = img[y0r, x1r]
-    i10 = img[y1r, x0r]
-    i11 = img[y1r, x1r]
-    warped = (i00 * (1 - fx) * (1 - fy) + i01 * fx * (1 - fy) +
+    def gather_sample(_):
+        # BORDER_REFLECT bilinear image sample.  Four scalar gathers, NOT
+        # _patch_bilinear: inside this lax.scan body the (2,2,3)-slice
+        # gather lowers 10x slower (6.7s vs 0.58s whole-compose,
+        # measured) — the slice-gather only wins under vmap batching
+        # (_warp_stack).
+        def reflect(c, nn):
+            period = 2 * nn
+            c = jnp.mod(c, period)
+            return jnp.where(c >= nn, period - 1 - c, c)
+        x0 = jnp.floor(sx)
+        y0 = jnp.floor(sy)
+        fx = (sx - x0)[..., None]
+        fy = (sy - y0)[..., None]
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        x0r = reflect(x0i, wc)
+        x1r = reflect(x0i + 1, wc)
+        y0r = reflect(y0i, hc)
+        y1r = reflect(y0i + 1, hc)
+        i00 = img[y0r, x0r]
+        i01 = img[y0r, x1r]
+        i10 = img[y1r, x0r]
+        i11 = img[y1r, x1r]
+        w4 = (i00 * (1 - fx) * (1 - fy) + i01 * fx * (1 - fy) +
               i10 * (1 - fx) * fy + i11 * fx * fy)
+        return jnp.transpose(w4, (2, 0, 1))
+
+    if use_pallas:
+        from ..kernels.warp_gather_pallas import (spans_ok_device,
+                                                  warp_bilinear_pallas)
+
+        def kernel_sample(_):
+            # Clamp-to-edge coords: equals BORDER_REFLECT for every
+            # in-mask sample (see _patch_bilinear's proof); differs only
+            # in masked-out pyramid smear content.
+            sxc = jnp.clip(sx, 0.0, wc - 1.0)
+            syc = jnp.clip(sy, 0.0, hc - 1.0)
+            return warp_bilinear_pallas(jnp.transpose(img, (2, 0, 1)),
+                                        sxc, syc)
+        warped = jax.lax.cond(spans_ok_device(sx, sy, wc, hc),
+                              kernel_sample, gather_sample, 0)
+    else:
+        warped = gather_sample(0)
 
     # Warp validity (INTER_NEAREST + BORDER_CONSTANT on the all-255
     # mask == source-rect containment of the rounded sample).
@@ -214,7 +241,7 @@ def _warp_gain_seam(img, k, r, us, vs, scale, smask, stl, seam_ratio,
     if gain_mode == "scalar":
         warped = warped * gain
     elif gain_mode == "channels":
-        warped = warped * gain[None, None, :]
+        warped = warped * gain[:, None, None]
     elif gain_mode == "blocks":
         # Per-image gain map stretched over the image's compose-scale ROI
         # with cv2::resize INTER_LINEAR semantics (BlocksCompensator::
@@ -233,9 +260,9 @@ def _warp_gain_seam(img, k, r, us, vs, scale, smask, stl, seam_ratio,
         mv = _interp_matrix(gy_, gain.shape[0])
         mu = _interp_matrix(gx_, gain.shape[1])
         if gain.ndim == 2:
-            gval = (mv.T @ gain @ mu)[..., None]
+            gval = (mv.T @ gain @ mu)[None]
         else:
-            gval = jnp.einsum("yv,yxc,xu->vuc", mv, gain, mu)
+            gval = jnp.einsum("yv,yxc,xu->cvu", mv, gain, mu)
         warped = warped * gval
 
     # Seam mask: sample the seam-scale mask at ratio-scaled warped
@@ -252,13 +279,15 @@ def _warp_gain_seam(img, k, r, us, vs, scale, smask, stl, seam_ratio,
 @functools.partial(
     jax.jit,
     static_argnames=("proj_name", "pad_h", "pad_w", "canvas_h", "canvas_w",
-                     "n_bands", "seam_pad_h", "seam_pad_w", "gain_mode"))
+                     "n_bands", "seam_pad_h", "seam_pad_w", "gain_mode",
+                     "use_pallas"))
 def _fused_compose_impl(images, ks, rs, scale, tls, canvas_tl,
                         seam_masks, seam_tls, seam_ratio,
                         gains, gain_grids, gain_rois, *,
                         proj_name: str, pad_h: int, pad_w: int,
                         canvas_h: int, canvas_w: int, n_bands: int,
-                        seam_pad_h: int, seam_pad_w: int, gain_mode: str):
+                        seam_pad_h: int, seam_pad_w: int, gain_mode: str,
+                        use_pallas: bool = False):
     """One scan over images accumulating multiband canvas pyramids.
 
     images: (N, hc, wc, 3); ks, rs: (N, 3, 3); tls: (N, 2) aligned rect
@@ -296,11 +325,10 @@ def _fused_compose_impl(images, ks, rs, scale, tls, canvas_tl,
         warped, weight = _warp_gain_seam(
             img, k, r, us, vs, scale, smask, stl, seam_ratio,
             gain, ggrid, groi, proj_bwd=proj_bwd,
-            gain_mode=gain_mode)
+            gain_mode=gain_mode, use_pallas=use_pallas)
 
         # Multi-band accumulate at band-aligned offsets, planar.
-        x4 = jnp.concatenate(
-            [jnp.transpose(warped, (2, 0, 1)), weight[None]], axis=0)
+        x4 = jnp.concatenate([warped, weight[None]], axis=0)
         gauss = [x4]
         for b in range(n_bands):
             gauss.append(pyr_down_mm(gauss[-1]))
@@ -421,6 +449,17 @@ def fused_compose(images: jnp.ndarray, ks: np.ndarray, rs: np.ndarray,
     gain_mode, gains, gain_grids, gain_rois = _prep_gains(
         compensator, n, comp_corners, comp_sizes)
 
+    # Pallas warp-gather kernel (kernels/warp_gather_pallas.py): TPU
+    # backend only (the lax.cond still traces/lowers both branches), and
+    # only when the padded planar source fits the VMEM budget alongside
+    # the tile working set.  A traced per-image span check inside
+    # _warp_gain_seam picks kernel vs gather at run time.
+    hc_p = max(-(-images.shape[1] // 8) * 8, 24)
+    wc_p = max(-(-images.shape[2] // 128) * 128, 384)
+    use_pallas = (os.environ.get("STITCH_NO_PALLAS", "0") != "1"
+                  and jax.default_backend() == "tpu"
+                  and 3 * hc_p * wc_p * 4 <= 12 * 2 ** 20)
+
     pano, mask = _fused_compose_impl(
         jnp.asarray(images, jnp.float32),
         jnp.asarray(ks, jnp.float32), jnp.asarray(rs, jnp.float32),
@@ -435,7 +474,8 @@ def fused_compose(images: jnp.ndarray, ks: np.ndarray, rs: np.ndarray,
         proj_name=warper.proj_name, pad_h=int(pad_h), pad_w=int(pad_w),
         canvas_h=int(canvas_h), canvas_w=int(canvas_w),
         n_bands=int(n_bands), seam_pad_h=int(sh_pad),
-        seam_pad_w=int(sw_pad), gain_mode=gain_mode)
+        seam_pad_w=int(sw_pad), gain_mode=gain_mode,
+        use_pallas=use_pallas)
     pano = np.asarray(pano)[:ch, :cw].astype(np.float32)
     mask = np.asarray(mask)[:ch, :cw]
     return pano, mask
@@ -484,8 +524,7 @@ def _sharded_compose_fn(mesh, axis: str, proj_name: str, canvas_h: int,
                 gain_mode=gain_mode)
             # planar (4, h, w) + matmul pyramids — same formulation and
             # rationale as _fused_compose_impl
-            x4 = jnp.concatenate(
-                [jnp.transpose(warped, (2, 0, 1)), weight[None]], axis=0)
+            x4 = jnp.concatenate([warped, weight[None]], axis=0)
             gauss = [x4]
             for _ in range(n_bands):
                 gauss.append(pyr_down_mm(gauss[-1]))
