@@ -84,7 +84,7 @@ def _kernel(sx_ref, sy_ref, img_ref, out_ref, *, s_rows: int, w_src: int,
 @functools.partial(jax.jit, static_argnames=("s_rows", "w_src",
                                              "interpret"))
 def warp_bilinear_pallas(img_planar: jnp.ndarray, sx: jnp.ndarray,
-                         sy: jnp.ndarray, *, s_rows: int = 24,
+                         sy: jnp.ndarray, *, s_rows: int = 40,
                          w_src: int = 384,
                          interpret: bool = False) -> jnp.ndarray:
     """Bilinear-sample `img_planar` (3, hc, wc) f32 at (sx, sy) (H, W).
@@ -144,8 +144,54 @@ def warp_bilinear_pallas(img_planar: jnp.ndarray, sx: jnp.ndarray,
     return out[:, :h, :w]
 
 
+def anchored_coords(sx: jnp.ndarray, sy: jnp.ndarray, ok: jnp.ndarray,
+                    wc: int, hc: int, s_rows: int = 40,
+                    w_src: int = 384):
+    """Make real warp fields kernel-admissible: out-of-validity samples
+    (whose values are masked out downstream) get their (row, 128-col
+    block) valid-mean coordinate, so each kernel tile-row's source span
+    is bounded by its VALID samples only.  Raw `warp_roi` fields fail
+    the span check at their edges (clamped wrap-around coords inside one
+    block); the valid part of the warp is smooth, so anchoring fixes
+    engagement without touching any in-mask sample.
+
+    Returns (sx', sy', admissible) with sx'/sy' clamped to the source
+    range and `admissible` a traced scalar bool for `lax.cond`.  The
+    kernel computes its per-tile-row window from exactly these (row,
+    block) groups (plus (8,128) alignment slack), so `admissible`
+    bounds its strip size by construction."""
+    sx = jnp.clip(sx, 0.0, wc - 1.0)
+    sy = jnp.clip(sy, 0.0, hc - 1.0)
+    h, w = sx.shape
+    wp = -(-w // TW) * TW
+    if wp != w:
+        pad = wp - w
+        sx = jnp.concatenate([sx, jnp.tile(sx[:, -1:], (1, pad))], 1)
+        sy = jnp.concatenate([sy, jnp.tile(sy[:, -1:], (1, pad))], 1)
+        ok = jnp.concatenate([ok, jnp.zeros((h, pad), bool)], 1)
+    bs = (h, wp // TW, TW)
+    sxb, syb, okb = sx.reshape(bs), sy.reshape(bs), ok.reshape(bs)
+    okf = okb.astype(jnp.float32)
+    cnt = jnp.maximum(okf.sum(-1, keepdims=True), 1.0)
+    ax = (sxb * okf).sum(-1, keepdims=True) / cnt
+    ay = (syb * okf).sum(-1, keepdims=True) / cnt
+    sxa = jnp.where(okb, sxb, ax).reshape(h, wp)[:, :w]
+    sya = jnp.where(okb, syb, ay).reshape(h, wp)[:, :w]
+    big = jnp.float32(1e9)
+    dx = (jnp.where(okb, sxb, -big).max(-1)
+          - jnp.where(okb, sxb, big).min(-1))
+    dy = (jnp.where(okb, syb, -big).max(-1)
+          - jnp.where(okb, syb, big).min(-1))
+    any_ok = okb.any(-1)
+    dx = jnp.where(any_ok, dx, 0.0)
+    dy = jnp.where(any_ok, dy, 0.0)
+    good = (jnp.all(dx <= w_src - 128 - 2 - 1)
+            & jnp.all(dy <= s_rows - 8 - 2 - 1))
+    return sxa, sya, good
+
+
 def spans_ok_device(sx: jnp.ndarray, sy: jnp.ndarray, wc: int, hc: int,
-                    s_rows: int = 24, w_src: int = 384) -> jnp.ndarray:
+                    s_rows: int = 40, w_src: int = 384) -> jnp.ndarray:
     """Traced (on-device) version of `tile_spans_ok`: a scalar bool the
     compose program feeds to `lax.cond` to select kernel vs gather —
     no host sync, correctness never depends on the kernel geometry."""
@@ -167,7 +213,7 @@ def spans_ok_device(sx: jnp.ndarray, sy: jnp.ndarray, wc: int, hc: int,
 
 
 def tile_spans_ok(sx: np.ndarray, sy: np.ndarray, wc: int, hc: int,
-                  s_rows: int = 24, w_src: int = 384) -> bool:
+                  s_rows: int = 40, w_src: int = 384) -> bool:
     """Host-side precondition check on the CLAMPED coordinate fields:
     every (TH, TW) tile row's source window must fit the (8, 128)-
     aligned strip (span <= s_rows-8-2 rows, w_src-128-2 cols).

@@ -213,29 +213,28 @@ def _warp_gain_seam(img, k, r, us, vs, scale, smask, stl, seam_ratio,
               i10 * (1 - fx) * fy + i11 * fx * fy)
         return jnp.transpose(w4, (2, 0, 1))
 
-    if use_pallas:
-        from ..kernels.warp_gather_pallas import (spans_ok_device,
-                                                  warp_bilinear_pallas)
-
-        def kernel_sample(_):
-            # Clamp-to-edge coords: equals BORDER_REFLECT for every
-            # in-mask sample (see _patch_bilinear's proof); differs only
-            # in masked-out pyramid smear content.
-            sxc = jnp.clip(sx, 0.0, wc - 1.0)
-            syc = jnp.clip(sy, 0.0, hc - 1.0)
-            return warp_bilinear_pallas(jnp.transpose(img, (2, 0, 1)),
-                                        sxc, syc)
-        warped = jax.lax.cond(spans_ok_device(sx, sy, wc, hc),
-                              kernel_sample, gather_sample, 0)
-    else:
-        warped = gather_sample(0)
-
     # Warp validity (INTER_NEAREST + BORDER_CONSTANT on the all-255
     # mask == source-rect containment of the rounded sample).
     xr = jnp.round(sx)
     yr = jnp.round(sy)
     wmask = valid & (xr >= 0) & (xr <= wc - 1) & (yr >= 0) & \
         (yr <= hc - 1)
+
+    if use_pallas:
+        from ..kernels.warp_gather_pallas import (anchored_coords,
+                                                  warp_bilinear_pallas)
+        # Anchor out-of-mask coords to their (row, block) valid mean:
+        # in-mask samples keep exact clamp-to-edge semantics (equal to
+        # BORDER_REFLECT there, see _patch_bilinear's proof); only
+        # masked-out pyramid smear content differs from the gather path.
+        sxa, sya, admissible = anchored_coords(sx, sy, wmask, wc, hc)
+
+        def kernel_sample(_):
+            return warp_bilinear_pallas(jnp.transpose(img, (2, 0, 1)),
+                                        sxa, sya)
+        warped = jax.lax.cond(admissible, kernel_sample, gather_sample, 0)
+    else:
+        warped = gather_sample(0)
 
     # Exposure gains.
     if gain_mode == "scalar":

@@ -82,18 +82,26 @@ def main():
     print(f"# canvas {cw}x{ch} (pad {cwb}x{chb}), rect {pad_w}x{pad_h} "
           f"(pad {padw}x{padh})", file=sys.stderr)
 
-    # Span-check verdict on the real fields (image 0 and the steepest).
+    # Span-check verdicts on the real fields (image 0 and the middle):
+    # raw clamp (fails at warp_roi edges) vs valid-anchored.
+    from image_stitching_tpu.kernels.warp_gather_pallas import (
+        anchored_coords)
     proj_bwd = PROJECTIONS["spherical"][1]
     for i in (0, N // 2):
         tlx, tly = rois[i][0], rois[i][1]
         us = tlx + jnp.arange(padw, dtype=jnp.float32)
         vs = tly + jnp.arange(padh, dtype=jnp.float32)
         uu, vv = jnp.meshgrid(us, vs)
-        sx, sy, _ = _backward_xy(proj_bwd, uu, vv, jnp.asarray(ks[i]),
-                                 jnp.asarray(rs[i]),
-                                 jnp.float32(warper.scale))
+        sx, sy, val = _backward_xy(proj_bwd, uu, vv, jnp.asarray(ks[i]),
+                                   jnp.asarray(rs[i]),
+                                   jnp.float32(warper.scale))
         ok = bool(spans_ok_device(sx, sy, W, H))
-        print(f"spans_ok image {i}: {ok}", flush=True)
+        xr, yr = jnp.round(sx), jnp.round(sy)
+        wmask = val & (xr >= 0) & (xr <= W - 1) & (yr >= 0) & \
+            (yr <= H - 1)
+        _, _, ok_a = anchored_coords(sx, sy, wmask, W, H)
+        print(f"image {i}: spans_ok raw={ok} anchored={bool(ok_a)}",
+              flush=True)
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(
@@ -131,10 +139,11 @@ def main():
         t = timed(lambda s, u=up: run(u, s))
         print(f"impl+f32 dl ({name}): {t*1e3:7.1f} ms", flush=True)
 
-    a, _ = run(True, 0)
-    b, _ = run(False, 0)
-    err = np.abs(a - b).max()
-    print(f"pallas-vs-gather max abs err: {err:.3e}", flush=True)
+    a, ma = run(True, 0)
+    b, mb = run(False, 0)
+    m = ma & mb
+    err = np.abs(a[m].astype(np.float32) - b[m].astype(np.float32)).max()
+    print(f"pallas-vs-gather in-mask max abs err: {err:.3e}", flush=True)
 
     # Download-only cost at canvas size.
     canv = jnp.zeros((chb, cwb, 3), jnp.float32)
