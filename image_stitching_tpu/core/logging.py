@@ -26,6 +26,25 @@ StageTimes = Dict[str, float]
 
 _FENCE = os.environ.get("STITCH_FENCE_TIMERS", "") not in ("", "0")
 
+# Compile-safe mode (see pipeline/stitcher.py): the axon worker crashes
+# (UNAVAILABLE, reproducibly) when NEW programs compile through the
+# tunnel while a deep async dispatch queue is in flight.  The pipeline
+# fences per stage on the FIRST run of a shape/config set and runs fully
+# async once the persistent compile cache is warm.
+_force_fence = False
+
+
+@contextlib.contextmanager
+def fenced_stages():
+    """Force per-stage fences inside this context (first-run warm-up)."""
+    global _force_fence
+    prev = _force_fence
+    _force_fence = True
+    try:
+        yield
+    finally:
+        _force_fence = prev
+
 
 def device_fence() -> None:
     """True completion barrier: dispatch a trivial op and DOWNLOAD it.
@@ -55,7 +74,7 @@ def stage_timer(name: str, times: Optional[StageTimes] = None,
                 jax.block_until_ready(v)
             except Exception:
                 pass
-        if _FENCE:
+        if _FENCE or _force_fence:
             try:
                 device_fence()
             except Exception:

@@ -275,18 +275,49 @@ def _warp_gain_seam(img, k, r, us, vs, scale, smask, stl, seam_ratio,
     return warped, weight
 
 
+def _l1_dist(invalid_seed: jnp.ndarray, rounds: int) -> jnp.ndarray:
+    """Exact L1 (city-block) distance to the nearest True of
+    `invalid_seed`, the device analogue of the cv2
+    `distanceTransform(mask, DIST_L1)` inside
+    `FeatherBlender::createWeightMap` (`image_stitching.cpp:78-80`
+    feather option).  Min-plus doubling per axis: ascending power-of-two
+    shifts reach any offset at exactly its L1 cost (binary
+    decomposition), so `rounds` rounds cover distances up to
+    2^rounds - 1 — enough when the weight clips at 1 for
+    d >= 1/sharpness.  Fully vectorized VPU work; no sequential chamfer
+    raster scan."""
+    big = jnp.float32(3e8)
+    d = jnp.where(invalid_seed, 0.0, big)
+    for axis in (0, 1):
+        for k in range(rounds):
+            s = 1 << k
+            fwd = jnp.roll(d, s, axis=axis)
+            bwd = jnp.roll(d, -s, axis=axis)
+            # Wrapped-around entries are masked with the big constant.
+            idx = jnp.arange(d.shape[axis])
+            keep_f = (idx >= s).reshape([-1, 1] if axis == 0 else [1, -1])
+            keep_b = (idx < d.shape[axis] - s).reshape(
+                [-1, 1] if axis == 0 else [1, -1])
+            d = jnp.minimum(d, jnp.minimum(
+                jnp.where(keep_f, fwd, big) + s,
+                jnp.where(keep_b, bwd, big) + s))
+    return d
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("proj_name", "pad_h", "pad_w", "canvas_h", "canvas_w",
                      "n_bands", "seam_pad_h", "seam_pad_w", "gain_mode",
-                     "use_pallas"))
+                     "use_pallas", "feather_sharpness", "feather_rounds"))
 def _fused_compose_impl(images, ks, rs, scale, tls, canvas_tl,
                         seam_masks, seam_tls, seam_ratio,
                         gains, gain_grids, gain_rois, *,
                         proj_name: str, pad_h: int, pad_w: int,
                         canvas_h: int, canvas_w: int, n_bands: int,
                         seam_pad_h: int, seam_pad_w: int, gain_mode: str,
-                        use_pallas: bool = False):
+                        use_pallas: bool = False,
+                        feather_sharpness: float = 0.0,
+                        feather_rounds: int = 0):
     """One scan over images accumulating multiband canvas pyramids.
 
     images: (N, hc, wc, 3); ks, rs: (N, 3, 3); tls: (N, 2) aligned rect
@@ -325,6 +356,20 @@ def _fused_compose_impl(images, ks, rs, scale, tls, canvas_tl,
             img, k, r, us, vs, scale, smask, stl, seam_ratio,
             gain, ggrid, groi, proj_bwd=proj_bwd,
             gain_mode=gain_mode, use_pallas=use_pallas)
+
+        if feather_sharpness > 0.0:
+            # FeatherBlender::feed weights: L1 distance to the nearest
+            # invalid pixel WITHIN the image's warped ROI (cv2 computes
+            # the map on the ROI-sized mask, so rect padding outside the
+            # ROI box must not seed distances), scaled by sharpness and
+            # clipped at 1.
+            hard = weight > 0.0
+            in_box = ((us >= groi[0]) & (us <= groi[0] + groi[2] - 1)
+                      )[None, :] & \
+                     ((vs >= groi[1]) & (vs <= groi[1] + groi[3] - 1)
+                      )[:, None]
+            d = _l1_dist(~hard & in_box, feather_rounds)
+            weight = jnp.minimum(d * feather_sharpness, 1.0) * hard
 
         # Multi-band accumulate at band-aligned offsets, planar.
         x4 = jnp.concatenate([warped, weight[None]], axis=0)
@@ -410,12 +455,19 @@ def fused_compose(images: jnp.ndarray, ks: np.ndarray, rs: np.ndarray,
     n = images.shape[0]
     canvas = result_roi(comp_corners, comp_sizes)
     n_bands, blend_width = num_bands_for(canvas, blend_strength)
+    feather_sharpness = 0.0
+    feather_rounds = 0
     if blend_type == BlenderType.NO or blend_width < 1.0:
         n_bands = 0
     elif blend_type == BlenderType.FEATHER:
-        # The fused path approximates feathering with a 1-band (gaussian
-        # weighted) blend; the exact EDT feather lives in ops.blend.
-        n_bands = 1
+        # Exact FeatherBlender semantics in-program: n_bands=0 turns the
+        # accumulator into sum(img*w)/sum(w), with w the clipped L1-EDT
+        # weight map (cv2 createWeightMap, sharpness = 1/blend_width).
+        # Doubling rounds only need to cover d < blend_width (weights
+        # clip at 1 beyond).
+        n_bands = 0
+        feather_sharpness = 1.0 / blend_width
+        feather_rounds = max(1, int(np.ceil(np.log2(blend_width + 1))))
     step = 1 << max(n_bands, 1)
     cx, cy, cw, ch = canvas
     canvas_w = -(-cw // step) * step
@@ -474,7 +526,10 @@ def fused_compose(images: jnp.ndarray, ks: np.ndarray, rs: np.ndarray,
         canvas_h=int(canvas_h), canvas_w=int(canvas_w),
         n_bands=int(n_bands), seam_pad_h=int(sh_pad),
         seam_pad_w=int(sw_pad), gain_mode=gain_mode,
-        use_pallas=use_pallas)
+        use_pallas=use_pallas, feather_sharpness=float(feather_sharpness),
+        feather_rounds=int(feather_rounds))
+    from ..core.transfer import fetch_tree
+    pano, mask = fetch_tree((pano, mask))   # one packed download
     pano = np.asarray(pano)[:ch, :cw].astype(np.float32)
     mask = np.asarray(mask)[:ch, :cw]
     return pano, mask
@@ -611,6 +666,8 @@ def fused_compose_sharded(mesh, images: jnp.ndarray, ks: np.ndarray,
         jnp.float32(seam_ratio),
         jnp.asarray(gains), jnp.asarray(gain_grids),
         jnp.asarray(gain_rois))
+    from ..core.transfer import fetch_tree
+    pano, mask = fetch_tree((pano, mask))   # one packed download
     pano = np.asarray(pano)[:ch, :cw].astype(np.float32)
     mask = np.asarray(mask)[:ch, :cw]
     return pano, mask

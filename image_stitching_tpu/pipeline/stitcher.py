@@ -29,6 +29,7 @@ from ..config import BlenderType, StitchConfig, TimelapserType
 from ..core import exif as exif_mod
 from ..core import image_io, persistence
 from ..core.logging import logger, stage_timer
+from ..core.transfer import fetch_tree
 from ..estimation import (biggest_component, bundle_adjust,
                           homography_based_estimate, pack_correspondences,
                           wave_correct)
@@ -135,6 +136,14 @@ def _median_focal(focals: np.ndarray) -> float:
     return float(f[n // 2 - 1] + f[n // 2]) * 0.5
 
 
+# Shape/config sets already run in this process: first contact with a
+# new set fences per stage (see core/logging.fenced_stages) — the axon
+# worker reproducibly crashes (UNAVAILABLE) when new programs compile
+# through the tunnel under a deep async dispatch queue.  Subsequent runs
+# (warm persistent compile cache) go fully async.
+_WARMED: set = set()
+
+
 def stitch(source, cfg: StitchConfig = StitchConfig(),
            output: Optional[str] = None) -> StitchResult:
     """Stitch a directory path or a list of image paths.
@@ -142,6 +151,32 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
     Writes `cfg.result_name` (or `output`) like the reference when `output`
     is not explicitly disabled with output="".
     """
+    if isinstance(source, str):
+        src_paths = image_io.list_images(source)
+    else:
+        src_paths = list(source)
+    if jax.default_backend() == "tpu":
+        try:
+            first = (image_io.probe_oriented_size(src_paths[0], False)
+                     if src_paths else (0, 0))
+        except Exception:
+            first = (0, 0)
+        key = (len(src_paths), first, cfg.work_megapix, cfg.seam_megapix,
+               cfg.compose_megapix, cfg.features_type, cfg.num_features,
+               cfg.blend_type, cfg.warp_type, cfg.seam_find_type,
+               cfg.expos_comp_type, cfg.matcher_type, cfg.estimator_type,
+               cfg.ba_cost_func, cfg.timelapse)
+        if key not in _WARMED:
+            from ..core.logging import fenced_stages
+            with fenced_stages():
+                out = _stitch_body(src_paths, cfg, output)
+            _WARMED.add(key)
+            return out
+    return _stitch_body(src_paths, cfg, output)
+
+
+def _stitch_body(source, cfg: StitchConfig,
+                 output: Optional[str]) -> StitchResult:
     times: Dict[str, float] = {}
     profiler_on = bool(cfg.profile_dir)
     if profiler_on:
@@ -317,7 +352,7 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
                     fstack, jax.random.PRNGKey(cfg.seed),
                     match_conf=cfg.match_conf, matcher_type=cfg.matcher_type,
                     range_width=cfg.range_width)
-                pm = jax.tree.map(np.asarray, pm)
+                pm = fetch_tree(pm)  # ONE packed download, not 7
             if cfg.save_graph and cfg.save_graph_to:
                 from ..estimation import matches_graph_dot
                 with open(cfg.save_graph_to, "w") as gf:
@@ -455,8 +490,7 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
             # u8 + u8 downloads: 4x fewer tunnel bytes than f32 and the
             # reference's own seam-scale representation (CV_8UC3 warp
             # output, f32 conversion only inside the seam finder).
-            iw = np.asarray(images_warped_pad)
-            mw = np.asarray(masks_warped_pad)
+            iw, mw = fetch_tree((images_warped_pad, masks_warped_pad))
             images_warped = [
                 iw[i, :rois[i][3], :rois[i][2]].astype(np.float32)
                 for i in range(n)]
@@ -517,7 +551,8 @@ def stitch(source, cfg: StitchConfig = StitchConfig(),
 
         use_fused = (uniform and not cfg.timelapse and
                      cfg.blend_type in (BlenderType.MULTI_BAND,
-                                        BlenderType.NO))
+                                        BlenderType.NO,
+                                        BlenderType.FEATHER))
         if use_fused:
             from .compose_fused import fused_compose
             src_stack = (stack_u8 if stack_u8 is not None and
