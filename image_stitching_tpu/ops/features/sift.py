@@ -94,21 +94,30 @@ def _grad(img: jnp.ndarray):
     return gx, gy
 
 
+_ORI_RADIUS = 15      # static grid radius; covers cv2's round(4.5*scl)
+                      # for every level (scl <= sigma0*2 = 3.2 -> 14.4)
+
+
 @functools.partial(jax.jit, static_argnames=("radius",))
-def _dominant_orientation(gx, gy, lvl, xy, radius: int):
-    """36-bin histogram peak in a (2r+1)^2 window per keypoint.
+def _dominant_orientation(gx, gy, lvl, xy, scl, radius: int = _ORI_RADIUS):
+    """36-bin histogram peak, cv2 calcOrientationHist semantics.
 
     gx/gy: (L, H, W) gradient stacks of the gaussian levels; lvl (K,)
     selects each keypoint's own scale level (true SIFT samples the
     gaussian layer nearest the keypoint sigma, not a fixed one).  The
-    histogram is circularly smoothed ([1,4,6,4,1]/16, the binomial
-    OpenCV applies) and the peak is refined by parabolic interpolation.
+    window is SCALE-ADAPTIVE per keypoint: square radius
+    round(4.5 * scl_octv) with Gaussian weight sigma = 1.5 * scl_octv
+    (a fixed radius-8 window truncated top-octave levels ~2x and washed
+    small scales with a too-wide Gaussian).  The static (2R+1)^2 grid is
+    masked per keypoint, so shapes stay static.  The histogram is
+    circularly smoothed ([1,4,6,4,1]/16, the binomial OpenCV applies)
+    and each peak is refined by parabolic interpolation.
     """
     ys, xs = np.mgrid[-radius:radius + 1, -radius:radius + 1]
     offs = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1))
-    wgt = jnp.asarray(np.exp(-(xs ** 2 + ys ** 2) /
-                             (2 * (radius / 1.5) ** 2)).ravel().astype(
-        np.float32))
+    r2 = jnp.asarray((xs ** 2 + ys ** 2).ravel().astype(np.float32))
+    cheb = jnp.asarray(np.maximum(np.abs(xs), np.abs(ys)).ravel()
+                       .astype(np.float32))
     pad = radius + 1
     gxp = jnp.pad(gx, ((0, 0), (pad, pad), (pad, pad)))
     gyp = jnp.pad(gy, ((0, 0), (pad, pad), (pad, pad)))
@@ -118,7 +127,11 @@ def _dominant_orientation(gx, gy, lvl, xy, radius: int):
     sl = lvl[:, None].astype(jnp.int32)
     gxs = gxp[sl, sy, sx]
     gys = gyp[sl, sy, sx]
-    mag = jnp.sqrt(gxs ** 2 + gys ** 2) * wgt[None]
+    sig = 1.5 * scl[:, None]                               # (K, 1)
+    rad_k = jnp.round(3.0 * sig)                           # cv2 radius
+    wgt = jnp.exp(-r2[None, :] / (2.0 * sig * sig)) * \
+        (cheb[None, :] <= rad_k)
+    mag = jnp.sqrt(gxs ** 2 + gys ** 2) * wgt
     ang = jnp.arctan2(gys, gxs)                     # (-pi, pi]
     # Soft-assign each sample between its two nearest bins.
     fbin = (ang + jnp.pi) / (2 * jnp.pi) * 36.0 - 0.5
@@ -348,12 +361,13 @@ def _sift_impl(gray, *, n_features: int, n_octaves: int,
             gx = jnp.stack([g[0] for g in gstack])
             gy = jnp.stack([g[1] for g in gstack])
             lvl = jnp.clip(sc, 1, _N_SPO) - 1
-            angle, angle2, has2 = _dominant_orientation(gx, gy, lvl, xy, 8)
             # Per-keypoint scale inside the octave (cv2's scl_octv =
-            # kpt.size * 0.5 / (1 << octave)): drives the descriptor's
-            # scale-adaptive window.
+            # kpt.size * 0.5 / (1 << octave)): drives the orientation
+            # and descriptor scale-adaptive windows.
             scl = _SIGMA0 * (2.0 ** ((sc.astype(jnp.float32) +
                                       off3[:, 2]) / _N_SPO))
+            angle, angle2, has2 = _dominant_orientation(gx, gy, lvl, xy,
+                                                        scl)
             # Multi-orientation duplication (cv2 emits one keypoint per
             # histogram peak >= 0.8 * max): the second-peak copies join
             # the candidate pool and compete in the global top-K, ranked

@@ -86,13 +86,18 @@ def _repeatability(xy_a, xy_b, h_ab, shape):
                        one_way(xy_b, xy_a, np.linalg.inv(h_ab))])
 
 
-def measure_ours(det, g1, g2, h_ab):
+def measure_ours(det, g1, g2, h_ab, match_conf):
     f1 = det(g1, n_features=N_FEATURES)
     f2 = det(g2, n_features=N_FEATURES)
     xy1 = np.asarray(f1.xy)[np.asarray(f1.valid)]
     xy2 = np.asarray(f2.xy)[np.asarray(f2.valid)]
     rep = _repeatability(xy1, xy2, h_ab, g1.shape)
-    pm = match_pair(f1, f2, jax.random.PRNGKey(0))
+    # Per-family match_conf like the reference pipeline (0.65 float /
+    # 0.32 binary, image_stitching.cpp:55-62): measuring the float
+    # families at the binary default produced a 2x dirtier tentative set
+    # and understated the inlier ratio by ~20 points (NOTES_r03).
+    pm = match_pair(f1, f2, jax.random.PRNGKey(0),
+                    match_conf=match_conf)
     conf = float(pm.confidence)
     ninl = int(pm.num_inliers)
     nmatch = int(np.asarray(pm.valid).sum())
@@ -101,7 +106,7 @@ def measure_ours(det, g1, g2, h_ab):
                 ratio=ninl / max(nmatch, 1))
 
 
-def measure_cv2(make, norm, g1, g2, h_ab):
+def measure_cv2(make, norm, g1, g2, h_ab, match_conf):
     det = make()
     u1 = np.clip(g1, 0, 255).astype(np.uint8)
     u2 = np.clip(g2, 0, 255).astype(np.uint8)
@@ -116,7 +121,7 @@ def measure_cv2(make, norm, g1, g2, h_ab):
     f2.img_size = (g2.shape[1], g2.shape[0])
     f1.keypoints, f1.descriptors = kp1, cv2.UMat(d1)
     f2.keypoints, f2.descriptors = kp2, cv2.UMat(d2)
-    matcher = cv2.detail.BestOf2NearestMatcher_create(False, 0.3)
+    matcher = cv2.detail.BestOf2NearestMatcher_create(False, match_conf)
     pw = matcher.apply2([f1, f2])
     m01 = pw[1]  # (0 -> 1)
     nmatch = len(m01.getMatches())
@@ -143,10 +148,11 @@ def main():
     seeds = [21, 22, 23]
     rows = []
     for name, det in ours.items():
+        mc = 0.65 if name in ("sift", "surf") else 0.32
         acc = []
         for s in seeds:
             g1, g2, h_ab = _pair_scene(s)
-            acc.append(measure_ours(det, g1, g2, h_ab))
+            acc.append(measure_ours(det, g1, g2, h_ab, mc))
         mean = {k: float(np.mean([a[k] for a in acc])) for k in acc[0]}
         rows.append(("ours/" + name, mean))
         if name in cv_makers:
@@ -154,7 +160,7 @@ def main():
             acc = []
             for s in seeds:
                 g1, g2, h_ab = _pair_scene(s)
-                acc.append(measure_cv2(mk, norm, g1, g2, h_ab))
+                acc.append(measure_cv2(mk, norm, g1, g2, h_ab, mc))
             mean = {k: float(np.mean([a[k] for a in acc])) for k in acc[0]}
             rows.append(("cv2/" + name, mean))
 
