@@ -541,7 +541,10 @@ def fused_compose(images: jnp.ndarray, ks: np.ndarray, rs: np.ndarray,
 
 @functools.lru_cache(maxsize=8)
 def _sharded_compose_fn(mesh, axis: str, proj_name: str, canvas_h: int,
-                        canvas_w: int, n_bands: int, gain_mode: str):
+                        canvas_w: int, n_bands: int, gain_mode: str,
+                        use_pallas: bool = False,
+                        feather_sharpness: float = 0.0,
+                        feather_rounds: int = 0):
     """Build the shard_map'd compose program for one mesh/canvas geometry.
 
     The canvas is sharded along its width over the mesh's `axis`; each
@@ -558,7 +561,11 @@ def _sharded_compose_fn(mesh, axis: str, proj_name: str, canvas_h: int,
     proj_bwd = PROJECTIONS[proj_name][1]
     n_dev = mesh.shape[axis]
     w_local = canvas_w // n_dev
-    margin = 3 * (1 << n_bands)
+    # Feather mode widens the recompute margin so the per-shard L1 EDT
+    # is exact for every interior pixel (any distance that matters —
+    # below the weight's clip at 1 — fits 2^rounds - 1 <= margin).
+    margin = max(3 * (1 << n_bands),
+                 (1 << feather_rounds) if feather_sharpness > 0 else 0)
     w_ext = w_local + 2 * margin
     assert canvas_w % (n_dev * (1 << n_bands)) == 0
     assert canvas_h % (1 << n_bands) == 0
@@ -575,7 +582,16 @@ def _sharded_compose_fn(mesh, axis: str, proj_name: str, canvas_h: int,
             warped, weight = _warp_gain_seam(
                 img, k, r, us, vs, scale, smask, stl, seam_ratio,
                 gain, ggrid, groi, proj_bwd=proj_bwd,
-                gain_mode=gain_mode)
+                gain_mode=gain_mode, use_pallas=use_pallas)
+            if feather_sharpness > 0.0:
+                # Same FeatherBlender weight map as _fused_compose_impl.
+                hard = weight > 0.0
+                in_box = ((us >= groi[0]) &
+                          (us <= groi[0] + groi[2] - 1))[None, :] & \
+                         ((vs >= groi[1]) &
+                          (vs <= groi[1] + groi[3] - 1))[:, None]
+                d = _l1_dist(~hard & in_box, feather_rounds)
+                weight = jnp.minimum(d * feather_sharpness, 1.0) * hard
             # planar (4, h, w) + matmul pyramids — same formulation and
             # rationale as _fused_compose_impl
             x4 = jnp.concatenate([warped, weight[None]], axis=0)
@@ -638,10 +654,15 @@ def fused_compose_sharded(mesh, images: jnp.ndarray, ks: np.ndarray,
     n = images.shape[0]
     canvas = result_roi(comp_corners, comp_sizes)
     n_bands, blend_width = num_bands_for(canvas, blend_strength)
+    feather_sharpness = 0.0
+    feather_rounds = 0
     if blend_type == BlenderType.NO or blend_width < 1.0:
         n_bands = 0
     elif blend_type == BlenderType.FEATHER:
-        n_bands = 1
+        # Exact in-program feather, same as fused_compose.
+        n_bands = 0
+        feather_sharpness = 1.0 / blend_width
+        feather_rounds = max(1, int(np.ceil(np.log2(blend_width + 1))))
     n_dev = mesh.shape[axis]
     step = 1 << max(n_bands, 1)
     unit = n_dev * step
@@ -653,9 +674,16 @@ def fused_compose_sharded(mesh, images: jnp.ndarray, ks: np.ndarray,
     gain_mode, gains, gain_grids, gain_rois = _prep_gains(
         compensator, n, comp_corners, comp_sizes)
 
+    hc_p = max(-(-images.shape[1] // 8) * 8, 24)
+    wc_p = max(-(-images.shape[2] // 128) * 128, 384)
+    use_pallas = (os.environ.get("STITCH_NO_PALLAS", "0") != "1"
+                  and jax.default_backend() == "tpu"
+                  and 3 * hc_p * wc_p * 4 <= 12 * 2 ** 20)
+
     fn = _sharded_compose_fn(mesh, axis, warper.proj_name,
                              int(canvas_h), int(canvas_w), int(n_bands),
-                             gain_mode)
+                             gain_mode, use_pallas,
+                             float(feather_sharpness), int(feather_rounds))
     pano, mask = fn(
         jnp.asarray(images, jnp.float32),
         jnp.asarray(ks, jnp.float32), jnp.asarray(rs, jnp.float32),

@@ -102,3 +102,32 @@ def test_sharded_fused_compose_matches_single_device():
     assert float(np.mean(diff)) < 0.5, float(np.mean(diff))
     assert float(np.percentile(diff, 99)) <= 2.0, (
         float(np.percentile(diff, 99)))
+
+
+def test_sharded_feather_matches_single_device():
+    """Sharded FEATHER == single-device fused feather, exactly: the
+    widened recompute margin makes the per-shard L1 EDT exact for every
+    interior pixel, so the weight maps agree bit-for-bit."""
+    from image_stitching_tpu.config import BlenderType
+    from image_stitching_tpu.ops.warps import make_warper
+    from image_stitching_tpu.pipeline.compose_fused import (
+        fused_compose, fused_compose_sharded)
+
+    imgs, ks, rs = _scene(n=3, h=48, w=64, focal=40.0)
+    warper = make_warper("spherical", 40.0)
+    corners, sizes = [], []
+    for i in range(3):
+        x, y, w, h = warper.warp_roi((48, 64), ks[i], rs[i])
+        corners.append((x, y))
+        sizes.append((w, h))
+    seam_masks = [np.full((sizes[i][1], sizes[i][0]), 255, np.uint8)
+                  for i in range(3)]
+    args = (jnp.asarray(imgs), ks, rs, warper, corners, sizes,
+            seam_masks, corners, 1.0, None, BlenderType.FEATHER, 5.0)
+    pano1, m1 = fused_compose(*args)
+    mesh = make_mesh((1, 4), ("dp", "sp"))
+    pano4, m4 = fused_compose_sharded(mesh, *args)
+    both = np.asarray(m1) & np.asarray(m4)
+    assert both.any()
+    diff = np.abs(pano4 - pano1)[both]
+    assert float(diff.max()) == 0.0, float(diff.max())
