@@ -101,6 +101,35 @@ def _sample_valid(key: jnp.ndarray, valid: jnp.ndarray,
     return order[pick]
 
 
+def _sample_valid_distinct(key: jnp.ndarray, valid: jnp.ndarray,
+                           n_rows: int, k: int) -> jnp.ndarray:
+    """(n_rows, k) indices into valid slots, distinct within each row.
+
+    Sequential sampling without replacement, unrolled over the static k
+    slots: slot j draws uniform in [0, n_valid - j) and shifts past the
+    previously chosen values in ascending order — still O(n_rows * k^2)
+    elementwise work, no (rows, M) tensor.  With replacement, a 4-point
+    draw repeats a point with prob ~6/n_valid, wasting that hypothesis on
+    a degenerate quad (the den clamp in `_quad_h` makes it lose the vote);
+    distinct draws recover the full hypothesis budget at small M.
+    Degenerate case n_valid < k falls back to clamped (duplicate) picks."""
+    order = jnp.argsort(jnp.logical_not(valid), stable=True)
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    u = jax.random.uniform(key, (n_rows, k))
+    chosen = []
+    for j in range(k):
+        rng_j = jnp.maximum(n_valid - j, 1)
+        v = jnp.minimum((u[:, j] * rng_j).astype(jnp.int32), rng_j - 1)
+        if chosen:
+            prev_sorted = jnp.sort(jnp.stack(chosen, -1), axis=-1)
+            for t in range(j):
+                v = v + (v >= prev_sorted[:, t]).astype(jnp.int32)
+        # In-range guard for n_valid < k (shifting can walk past the end).
+        v = jnp.minimum(v, n_valid - 1)
+        chosen.append(v)
+    return order[jnp.stack(chosen, -1)]
+
+
 def dlt_homography(src: jnp.ndarray, dst: jnp.ndarray,
                    w: jnp.ndarray) -> jnp.ndarray:
     """Weighted normalized DLT over N correspondences -> 3x3 H.
@@ -139,7 +168,7 @@ def ransac_homography(src: jnp.ndarray, dst: jnp.ndarray,
     Invalid slots never count as inliers and are never (effectively) sampled.
     """
     m = src.shape[0]
-    idx = _sample_valid(key, valid, (n_hyp, 4))
+    idx = _sample_valid_distinct(key, valid, n_hyp, 4)
 
     s4 = src[idx]                                          # (n_hyp, 4, 2)
     d4 = dst[idx]
@@ -202,7 +231,7 @@ def ransac_affine_partial(src: jnp.ndarray, dst: jnp.ndarray,
     """RANSAC similarity (rotation+scale+translation) like
     cv::estimateAffinePartial2D — the AffineBestOf2NearestMatcher core.
     Returns (H 3x3 with affine rows, inlier_mask, n_inliers)."""
-    idx = _sample_valid(key, valid, (n_hyp, 2))
+    idx = _sample_valid_distinct(key, valid, n_hyp, 2)
     s2 = src[idx]
     d2 = dst[idx]
 

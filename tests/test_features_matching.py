@@ -126,6 +126,29 @@ def test_ransac_respects_validity_mask(rng):
     assert int(n) <= 20
 
 
+def test_sample_valid_distinct(rng):
+    from image_stitching_tpu.ops.ransac import _sample_valid_distinct
+
+    valid = np.zeros(64, bool)
+    valid[10:30] = True  # 20 valid slots
+    idx = np.asarray(_sample_valid_distinct(
+        jax.random.PRNGKey(3), jnp.asarray(valid), 256, 4))
+    assert idx.shape == (256, 4)
+    # Every pick lands on a valid slot.
+    assert valid[idx].all()
+    # Distinct within each row (the point of the sampler).
+    for row in idx:
+        assert len(set(row.tolist())) == 4
+    # Uniform-ish coverage of the valid slots.
+    assert len(set(idx.ravel().tolist())) == 20
+    # Degenerate n_valid < k: stays in-range, duplicates allowed.
+    valid2 = np.zeros(64, bool)
+    valid2[5:7] = True
+    idx2 = np.asarray(_sample_valid_distinct(
+        jax.random.PRNGKey(4), jnp.asarray(valid2), 32, 4))
+    assert valid2[idx2].all()
+
+
 def test_ransac_affine_partial(rng):
     ang = 0.3
     s = 1.2
