@@ -268,6 +268,67 @@ def test_crop_irregular_boundary():
     assert out.shape[0] > 10 and out.shape[1] > 30
 
 
+def test_fused_feather_matches_loop_blender():
+    """The exact-feather fused compose == the loop path (warper.warp per
+    image + FeatherBlender EDT weights), incl. a nontrivial seam mask.
+    This is the parity behind routing BASELINE config 1 (VGA pair,
+    feather) through the single-download fused path."""
+    from scipy.spatial.transform import Rotation as R
+    from image_stitching_tpu.ops.blend import num_bands_for, result_roi
+    from image_stitching_tpu.ops.warps import make_warper
+    from image_stitching_tpu.pipeline.compose_fused import fused_compose
+
+    n, h, w, focal = 3, 48, 64, 40.0
+    yy, xx = np.mgrid[:h, :w].astype(np.float32)
+    imgs = np.stack([np.stack([60 + xx + 25 * i, 80 + yy, 90 + 0 * xx], -1)
+                     for i in range(n)]).astype(np.float32)
+    ks = np.tile(np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]],
+                          np.float32), (n, 1, 1))
+    rs = np.stack([R.from_euler("y", 0.5 * i).as_matrix().astype(np.float32)
+                   for i in range(n)])
+    warper = make_warper("spherical", focal)
+    corners, sizes = [], []
+    for i in range(n):
+        x, y, ww, hh = warper.warp_roi((h, w), ks[i], rs[i])
+        corners.append((x, y))
+        sizes.append((ww, hh))
+    seam_masks = []
+    for i in range(n):
+        m = np.full((sizes[i][1], sizes[i][0]), 255, np.uint8)
+        if i == 1:
+            m[:, m.shape[1] // 2:] = 0   # surrendered right half
+        seam_masks.append(m)
+
+    pano_f, mask_f = fused_compose(
+        jnp.asarray(imgs), ks, rs, warper, corners, sizes, seam_masks,
+        corners, 1.0, None, BlenderType.FEATHER, 5.0)
+
+    _, blend_width = num_bands_for(result_roi(corners, sizes), 5.0)
+    blender = FeatherBlender(corners, sizes, 1.0 / blend_width)
+    for i in range(n):
+        dst_roi = (corners[i][0], corners[i][1], sizes[i][0], sizes[i][1])
+        _, img_w = warper.warp(jnp.asarray(imgs[i]), ks[i], rs[i],
+                               dst_roi=dst_roi)
+        full = np.full((h, w), 255, np.uint8)
+        _, mask_w = warper.warp(jnp.asarray(full), ks[i], rs[i],
+                                interp="nearest", border="constant",
+                                dst_roi=dst_roi)
+        seam_m = dilate3(jnp.asarray(seam_masks[i]))
+        final = (np.asarray(seam_m) > 127) & (np.asarray(mask_w) > 0)
+        blender.feed(img_w, jnp.asarray(final), corners[i])
+    pano_l, mask_l = blender.blend()
+    pano_l = np.clip(np.asarray(pano_l), 0, 255)
+
+    assert pano_f.shape == pano_l.shape
+    both = mask_f & np.asarray(mask_l)
+    assert both.mean() > 0.3
+    diff = np.abs(pano_f - pano_l)[both]
+    assert float(np.mean(diff)) < 0.5, float(np.mean(diff))
+    assert float(np.percentile(diff, 99)) <= 1.5, (
+        float(np.percentile(diff, 99)))
+    assert float(diff.max()) <= 4.0, float(diff.max())
+
+
 # ------------------------------------------------------------- timelapse ----
 def test_timelapser(rng):
     img = rng.uniform(0, 255, (20, 30, 3)).astype(np.float32)
