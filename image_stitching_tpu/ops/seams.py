@@ -261,12 +261,19 @@ def _run_dp_tasks(tasks, grad: bool):
 
     Tasks are padded into power-of-two (H, W, T) buckets so the jit cache
     stays bounded; each bucket is ONE vmapped program (at 37 rig images
-    the old per-pair path was 666 sequential dispatch+sync round trips)."""
+    the old per-pair path was 666 sequential dispatch+sync round trips).
+    Tunnel discipline: queue every bucket's uploads first, then dispatch
+    every program, then fetch ALL outputs in one packed download — the
+    per-bucket np.asarray sync paid ~25-30 ms of tunnel latency per
+    bucket (CLAUDE.md), and bench scenes carry several buckets."""
+    from ..core.transfer import fetch_tree
+
     out = [None] * len(tasks)
     groups = {}
     for idx, t in enumerate(tasks):
         h, w = t["vc"].shape
         groups.setdefault((_bucket_dim(h), _bucket_dim(w)), []).append(idx)
+    uploaded = []
     for (bh, bw), idxs in groups.items():
         t_pad = 1
         while t_pad < len(idxs):
@@ -284,9 +291,12 @@ def _run_dp_tasks(tasks, grad: bool):
             vv[slot, :h, :w] = t["vc"]
             pl[slot] = t["prefer1"]
             hw[slot] = (h, w)
-        keep = np.asarray(_dp_seam_batch(
-            jnp.asarray(i1), jnp.asarray(i2), jnp.asarray(vv),
-            jnp.asarray(pl), jnp.asarray(hw), grad))
+        uploaded.append((idxs, tuple(
+            jnp.asarray(a) for a in (i1, i2, vv, pl, hw))))
+    pending = [(idxs, _dp_seam_batch(*bufs, grad))
+               for idxs, bufs in uploaded]
+    fetched = fetch_tree([k for _, k in pending])
+    for (idxs, _), keep in zip(pending, fetched):
         for slot, idx in enumerate(idxs):
             h, w = tasks[idx]["vc"].shape
             out[idx] = keep[slot, :h, :w]
@@ -403,6 +413,29 @@ def find_seams(images: Sequence[np.ndarray], corners: Sequence[Tuple[int, int]],
     if seam_type.startswith("dp"):
         return _find_seams_dp(images, corners, masks, sizes, grad)
 
+    # Graph cut: the per-pair color cost depends only on the IMAGES (not
+    # the evolving masks), so prefetch every overlapping pair's cost in
+    # one packed download before the sequential mask loop — the per-pair
+    # np.asarray sync paid ~25-30 ms of tunnel latency each (CLAUDE.md).
+    gc_costs = {}
+    if seam_type.startswith("gc"):
+        from ..core.transfer import fetch_tree
+        pend = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                box = _overlap_box(corners[i], sizes[i], corners[j],
+                                   sizes[j])
+                if box[2] <= 0 or box[3] <= 0:
+                    continue
+                im1 = _crop(np.asarray(images[i], np.float32), corners[i],
+                            box)
+                im2 = _crop(np.asarray(images[j], np.float32), corners[j],
+                            box)
+                pend.append(((i, j), _dp_seam_cost(
+                    jnp.asarray(im1), jnp.asarray(im2), grad=grad)))
+        fetched = fetch_tree([c for _, c in pend])
+        gc_costs = {key: cost for (key, _), cost in zip(pend, fetched)}
+
     for i in range(n):
         for j in range(i + 1, n):
             box = _overlap_box(corners[i], sizes[i], corners[j], sizes[j])
@@ -420,13 +453,8 @@ def find_seams(images: Sequence[np.ndarray], corners: Sequence[Tuple[int, int]],
                 d2 = edt_sq(~(m2 & ~m1))
                 keep1 = d1 <= d2
             else:  # graph cut
-                im1 = _crop(np.asarray(images[i], np.float32), corners[i],
-                            box)
-                im2 = _crop(np.asarray(images[j], np.float32), corners[j],
-                            box)
-                cost = np.asarray(_dp_seam_cost(
-                    jnp.asarray(im1), jnp.asarray(im2), grad=grad))
-                keep1 = _graph_cut_pair(cost, m1 & ~m2, m2 & ~m1, ov)
+                keep1 = _graph_cut_pair(gc_costs[(i, j)], m1 & ~m2,
+                                        m2 & ~m1, ov)
             # Partition the overlap.
             x, y, w, h = box
             oxi, oyi = x - corners[i][0], y - corners[i][1]
