@@ -254,8 +254,9 @@ def _stitch_body(source, cfg: StitchConfig,
 
     n = len(paths)
     uniform = len(set(full_sizes)) == 1
-    seam_imgs = []
-    seam_stack_dev = None  # device-resident u8 seam stack (fast path)
+    seam_imgs = []          # host seam-scale pixels (non-uniform path only)
+    seam_shapes = []        # (h, w) per image — all downstream ROI math
+    seam_stack_dev = None  # device-resident u8 seam stack (uniform paths)
     feats: List[Features] = []
     fstack: Optional[Features] = None
     with stage_timer("Finding features", times):
@@ -280,8 +281,11 @@ def _stitch_body(source, cfg: StitchConfig,
                         for i in range(n)])
             stack_u8 = rgb_oriented
             seam_stack_dev = seam_stack
-            seam_np = np.asarray(seam_stack)
-            seam_imgs = [seam_np[i] for i in range(n)]
+            # No host download of the seam stack: the uniform warp path
+            # consumes the device-resident stack, and everything after it
+            # (exposure feed, seam find) reads the WARPED downloads.  Only
+            # the (h, w) shapes are needed host-side for ROI bookkeeping.
+            seam_shapes = [seam_hw] * n
             if want_feats and logger.isEnabledFor(20):
                 counts = np.asarray(fstack.count())
                 for i in range(n):
@@ -312,8 +316,10 @@ def _stitch_body(source, cfg: StitchConfig,
                     feats.append(detect_features(gray, cfg))
                 seam_list.append(seam)
             stack_u8 = jnp.stack(device_imgs)
-            seam_np = np.asarray(jnp.stack(seam_list))
-            seam_imgs = [seam_np[i] for i in range(n)]
+            # Keep the seam stack device-resident (the uniform warp path
+            # consumes it directly); no host download needed.
+            seam_stack_dev = jnp.stack(seam_list)
+            seam_shapes = [seam_hw] * n
             if want_feats and logger.isEnabledFor(20):
                 for i, f in enumerate(feats):
                     logger.info("Features in image #%d: %d", i + 1,
@@ -334,6 +340,7 @@ def _stitch_body(source, cfg: StitchConfig,
                                     int(f.count()))
                 seam_imgs.append(np.asarray(resize(
                     imj, scale_size(im.shape[0], im.shape[1], seam_scale))))
+                seam_shapes.append(seam_imgs[-1].shape[:2])
 
     # ---- scale priors by work_scale (:626-638) ----
     if priors is not None:
@@ -445,7 +452,9 @@ def _stitch_body(source, cfg: StitchConfig,
     if full_imgs is not None:
         full_imgs = [full_imgs[i] for i in indices]
     full_sizes = [full_sizes[i] for i in indices]
-    seam_imgs = [seam_imgs[i] for i in indices]
+    if seam_imgs:
+        seam_imgs = [seam_imgs[i] for i in indices]
+    seam_shapes = [seam_shapes[i] for i in indices]
     if stack_u8 is not None and len(indices) != stack_u8.shape[0]:
         stack_u8 = stack_u8[np.asarray(indices)]
     if (seam_stack_dev is not None
@@ -466,7 +475,7 @@ def _stitch_body(source, cfg: StitchConfig,
         corners, sizes = [], []
         rois = []
         for i in range(n):
-            roi = warper.warp_roi(seam_imgs[i].shape[:2], k_seam[i],
+            roi = warper.warp_roi(seam_shapes[i], k_seam[i],
                                   r_all[i])
             rois.append(roi)
             corners.append((roi[0], roi[1]))
