@@ -359,7 +359,11 @@ def _stitch_body(source, cfg: StitchConfig,
                     fstack, jax.random.PRNGKey(cfg.seed),
                     match_conf=cfg.match_conf, matcher_type=cfg.matcher_type,
                     range_width=cfg.range_width)
-                pm = fetch_tree(pm)  # ONE packed download, not 7
+                # ONE packed download for the matches AND the keypoint
+                # coordinates (pack_correspondences in the BA stage paid a
+                # separate ~30 ms sync pulling fstack.xy).
+                pm, xy_host = fetch_tree((pm, fstack.xy))
+                fstack = dataclasses.replace(fstack, xy=xy_host)
             if cfg.save_graph and cfg.save_graph_to:
                 from ..estimation import matches_graph_dot
                 with open(cfg.save_graph_to, "w") as gf:
