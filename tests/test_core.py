@@ -153,3 +153,30 @@ def test_probe_oriented_size(tmp_path):
     imwrite(p, np.zeros((48, 64, 3), np.uint8))
     assert probe_oriented_size(p, is_portrait=False) == (64, 48)
     assert probe_oriented_size(p, is_portrait=True) == (48, 64)
+
+
+def test_fetch_tree_roundtrip():
+    """fetch_tree: one packed d->h transfer must reproduce every leaf with
+    original dtype/shape; host numpy leaves pass through untouched."""
+    import jax.numpy as jnp
+    from image_stitching_tpu.core.transfer import fetch_tree
+
+    rng = np.random.default_rng(0)
+    f32 = rng.normal(size=(3, 5, 2)).astype(np.float32)
+    i32 = rng.integers(-1000, 1000, (7,), dtype=np.int32)
+    u8 = rng.integers(0, 255, (4, 6), dtype=np.uint8)
+    bl = rng.integers(0, 2, (9,)).astype(bool)
+    host = np.arange(4.0)
+    tree = {"a": jnp.asarray(f32), "b": (jnp.asarray(i32), jnp.asarray(u8)),
+            "c": jnp.asarray(bl), "host": host}
+    out = fetch_tree(tree)
+    assert isinstance(out["a"], np.ndarray) and out["a"].dtype == np.float32
+    np.testing.assert_array_equal(out["a"], f32)
+    np.testing.assert_array_equal(out["b"][0], i32)
+    np.testing.assert_array_equal(out["b"][1], u8)
+    assert out["c"].dtype == np.bool_
+    np.testing.assert_array_equal(out["c"], bl)
+    assert out["host"] is host
+    # All-host tree returns unchanged.
+    t2 = {"x": host}
+    assert fetch_tree(t2)["x"] is host
