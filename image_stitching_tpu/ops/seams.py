@@ -62,6 +62,10 @@ def _crop(arr: np.ndarray, corner, box):
 @functools.partial(jax.jit, static_argnames=("grad",))
 def _dp_seam_cost(img1: jnp.ndarray, img2: jnp.ndarray,
                   grad: bool = False) -> jnp.ndarray:
+    # Upcast: crops may arrive float16 (upload-byte economy) and the
+    # squared sums overflow f16 range.
+    img1 = img1.astype(jnp.float32)
+    img2 = img2.astype(jnp.float32)
     d = jnp.sqrt(jnp.sum((img1 - img2) ** 2, axis=-1) + 1e-12)
     if grad:
         def g(a):
@@ -233,6 +237,11 @@ def _dp_seam_batch(i1, i2, valid, prefer1, hw, grad: bool = False):
     constant to every column).  Returns (T, H, W) keep1."""
     t, bh, bw = valid.shape
 
+    # Crops arrive float16 (half the tunnel upload bytes; exact for the
+    # pipeline's u8-valued seam-scale pixels) — cost math runs in f32.
+    i1 = i1.astype(jnp.float32)
+    i2 = i2.astype(jnp.float32)
+
     def one(a, b, v, p, real_hw):
         rows = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
@@ -278,7 +287,7 @@ def _run_dp_tasks(tasks, grad: bool):
         t_pad = 1
         while t_pad < len(idxs):
             t_pad <<= 1
-        i1 = np.zeros((t_pad, bh, bw, 3), np.float32)
+        i1 = np.zeros((t_pad, bh, bw, 3), np.float16)
         i2 = np.zeros_like(i1)
         vv = np.zeros((t_pad, bh, bw), bool)
         pl = np.zeros((t_pad,), bool)
@@ -427,9 +436,9 @@ def find_seams(images: Sequence[np.ndarray], corners: Sequence[Tuple[int, int]],
                                    sizes[j])
                 if box[2] <= 0 or box[3] <= 0:
                     continue
-                im1 = _crop(np.asarray(images[i], np.float32), corners[i],
+                im1 = _crop(np.asarray(images[i], np.float16), corners[i],
                             box)
-                im2 = _crop(np.asarray(images[j], np.float32), corners[j],
+                im2 = _crop(np.asarray(images[j], np.float16), corners[j],
                             box)
                 pend.append(((i, j), _dp_seam_cost(
                     jnp.asarray(im1), jnp.asarray(im2), grad=grad)))
