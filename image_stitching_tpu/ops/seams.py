@@ -259,8 +259,15 @@ def _dp_seam_batch(i1, i2, valid, prefer1, hw, grad: bool = False):
 
 
 def _bucket_dim(x: int, lo: int = 16) -> int:
+    """Next bucket size >= x from the half-octave series {2^k, 1.5*2^k}.
+
+    Pure powers of two padded seam-scale overlaps by up to 2x in each
+    dim (306 -> 512); the extra 1.5x step keeps the jit cache bounded
+    (two shapes per octave) while cutting the padding waste (306 -> 384)."""
     b = lo
     while b < x:
+        if b + (b >> 1) >= x:
+            return b + (b >> 1)
         b <<= 1
     return b
 
