@@ -226,21 +226,15 @@ def _graph_cut_pair(cost: np.ndarray, must1: np.ndarray, must2: np.ndarray,
 
 
 # -------------------------------------------------- per-component DP ----
-@functools.partial(jax.jit, static_argnames=("grad",))
-def _dp_seam_batch(i1, i2, valid, prefer1, hw, grad: bool = False):
+def _dp_seam_batch_core(i1, i2, valid, prefer1, hw, grad: bool):
     """Vmapped `_dp_seam` over a bucket of canonicalized component crops.
 
-    i1, i2: (T, H, W, 3); valid: (T, H, W); prefer1: (T,); hw: (T, 2) the
-    REAL (h, w) of each crop inside the padded bucket.  Padded columns in
-    real rows get a high wall cost so the seam cannot escape the crop into
-    the zero-cost padding; fully-padded rows stay free (they add the same
-    constant to every column).  Returns (T, H, W) keep1."""
+    i1, i2: (T, H, W, 3) f32; valid: (T, H, W); prefer1: (T,); hw: (T, 2)
+    the REAL (h, w) of each crop inside the padded bucket.  Padded columns
+    in real rows get a high wall cost so the seam cannot escape the crop
+    into the zero-cost padding; fully-padded rows stay free (they add the
+    same constant to every column).  Returns (T, H, W) keep1."""
     t, bh, bw = valid.shape
-
-    # Crops arrive float16 (half the tunnel upload bytes; exact for the
-    # pipeline's u8-valued seam-scale pixels) — cost math runs in f32.
-    i1 = i1.astype(jnp.float32)
-    i2 = i2.astype(jnp.float32)
 
     def one(a, b, v, p, real_hw):
         rows = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
@@ -258,6 +252,46 @@ def _dp_seam_batch(i1, i2, valid, prefer1, hw, grad: bool = False):
     return jax.vmap(one)(i1, i2, valid, prefer1, hw)
 
 
+@functools.partial(jax.jit, static_argnames=("grad",))
+def _dp_seam_batch(i1, i2, valid, prefer1, hw, grad: bool = False):
+    """Host-upload bucket entry: crops arrive float16 (half the tunnel
+    upload bytes; exact for the pipeline's u8-valued seam-scale pixels) —
+    cost math runs in f32."""
+    return _dp_seam_batch_core(i1.astype(jnp.float32),
+                               i2.astype(jnp.float32), valid, prefer1, hw,
+                               grad)
+
+
+@functools.partial(jax.jit, static_argnames=("grad", "transpose"))
+def _dp_seam_batch_dev(stack, idx_i, idx_j, off_i, off_j, valid, prefer1,
+                       hw, grad: bool = False, transpose: bool = False):
+    """Device-sourced bucket entry: crop content gathers from the
+    device-resident padded warped stack (origin-anchored per-image rects,
+    as produced by the pipeline's vmapped seam warp) instead of being
+    re-uploaded from the host — only the tiny component masks travel up.
+
+    stack: (N, Hp, Wp, 3); idx_*: (T,) image indices; off_*: (T, 2)
+    (row, col) crop offsets in UNtransposed image coords; transpose: the
+    bucket holds vertical-seam tasks (crops canonicalized by transposing,
+    so the gather rect is (bw, bh))."""
+    t, bh, bw = valid.shape
+    gh, gw = (bw, bh) if transpose else (bh, bw)
+    hp, wp = stack.shape[1], stack.shape[2]
+
+    def gather_one(img_idx, off):
+        # Clip-gather keeps alignment at image edges (the overread is
+        # masked by the wall/valid logic downstream).
+        rows = jnp.clip(off[0] + jnp.arange(gh), 0, hp - 1)
+        cols = jnp.clip(off[1] + jnp.arange(gw), 0, wp - 1)
+        sub = stack[img_idx][rows[:, None], cols[None, :], :]
+        sub = sub.astype(jnp.float32)
+        return jnp.swapaxes(sub, 0, 1) if transpose else sub
+
+    i1 = jax.vmap(gather_one)(idx_i, off_i)
+    i2 = jax.vmap(gather_one)(idx_j, off_j)
+    return _dp_seam_batch_core(i1, i2, valid, prefer1, hw, grad)
+
+
 def _bucket_dim(x: int, lo: int = 16) -> int:
     """Next bucket size >= x from the half-octave series {2^k, 1.5*2^k}.
 
@@ -272,7 +306,7 @@ def _bucket_dim(x: int, lo: int = 16) -> int:
     return b
 
 
-def _run_dp_tasks(tasks, grad: bool):
+def _run_dp_tasks(tasks, grad: bool, images_dev=None):
     """Execute all component-seam DPs in a handful of device dispatches.
 
     Tasks are padded into power-of-two (H, W, T) buckets so the jit cache
@@ -281,36 +315,66 @@ def _run_dp_tasks(tasks, grad: bool):
     Tunnel discipline: queue every bucket's uploads first, then dispatch
     every program, then fetch ALL outputs in one packed download — the
     per-bucket np.asarray sync paid ~25-30 ms of tunnel latency per
-    bucket (CLAUDE.md), and bench scenes carry several buckets."""
+    bucket (CLAUDE.md), and bench scenes carry several buckets.
+
+    With `images_dev` (the device-resident padded warped stack) the crop
+    CONTENT never travels: each bucket program gathers its rects on
+    device and only the component masks upload."""
     from ..core.transfer import fetch_tree
 
     out = [None] * len(tasks)
     groups = {}
     for idx, t in enumerate(tasks):
         h, w = t["vc"].shape
-        groups.setdefault((_bucket_dim(h), _bucket_dim(w)), []).append(idx)
+        key = (_bucket_dim(h), _bucket_dim(w))
+        if images_dev is not None:
+            key = key + (not t["horiz"],)
+        groups.setdefault(key, []).append(idx)
     uploaded = []
-    for (bh, bw), idxs in groups.items():
+    for key, idxs in groups.items():
+        bh, bw = key[0], key[1]
         t_pad = 1
         while t_pad < len(idxs):
             t_pad <<= 1
-        i1 = np.zeros((t_pad, bh, bw, 3), np.float16)
-        i2 = np.zeros_like(i1)
         vv = np.zeros((t_pad, bh, bw), bool)
         pl = np.zeros((t_pad,), bool)
         hw = np.ones((t_pad, 2), np.int32)
+        if images_dev is None:
+            i1 = np.zeros((t_pad, bh, bw, 3), np.float16)
+            i2 = np.zeros_like(i1)
+        else:
+            ix_i = np.zeros((t_pad,), np.int32)
+            ix_j = np.zeros((t_pad,), np.int32)
+            of_i = np.zeros((t_pad, 2), np.int32)
+            of_j = np.zeros((t_pad, 2), np.int32)
         for slot, idx in enumerate(idxs):
             t = tasks[idx]
             h, w = t["vc"].shape
-            i1[slot, :h, :w] = t["c1"]
-            i2[slot, :h, :w] = t["c2"]
             vv[slot, :h, :w] = t["vc"]
             pl[slot] = t["prefer1"]
             hw[slot] = (h, w)
-        uploaded.append((idxs, tuple(
-            jnp.asarray(a) for a in (i1, i2, vv, pl, hw))))
-    pending = [(idxs, _dp_seam_batch(*bufs, grad))
-               for idxs, bufs in uploaded]
+            if images_dev is None:
+                i1[slot, :h, :w] = t["c1"]
+                i2[slot, :h, :w] = t["c2"]
+            else:
+                ix_i[slot] = t["i"]
+                ix_j[slot] = t["j"]
+                of_i[slot] = t["off_i"]
+                of_j[slot] = t["off_j"]
+        if images_dev is None:
+            uploaded.append((key, idxs, tuple(
+                jnp.asarray(a) for a in (i1, i2, vv, pl, hw))))
+        else:
+            uploaded.append((key, idxs, tuple(
+                jnp.asarray(a) for a in (ix_i, ix_j, of_i, of_j, vv, pl,
+                                         hw))))
+    if images_dev is None:
+        pending = [(idxs, _dp_seam_batch(*bufs, grad))
+                   for _, idxs, bufs in uploaded]
+    else:
+        pending = [(idxs, _dp_seam_batch_dev(images_dev, *bufs, grad=grad,
+                                             transpose=key[2]))
+                   for key, idxs, bufs in uploaded]
     fetched = fetch_tree([k for _, k in pending])
     for (idxs, _), keep in zip(pending, fetched):
         for slot, idx in enumerate(idxs):
@@ -319,7 +383,8 @@ def _run_dp_tasks(tasks, grad: bool):
     return out
 
 
-def _find_seams_dp(images, corners, masks, sizes, grad: bool):
+def _find_seams_dp(images, corners, masks, sizes, grad: bool,
+                   images_dev=None):
     """DpSeamFinder parity core: label each pair-overlap's connected
     components, seam every component separately with source/sink sides
     from the exclusive-region centroids, apply partitions sequentially
@@ -339,8 +404,11 @@ def _find_seams_dp(images, corners, masks, sizes, grad: bool):
             ov = m1 & m2
             if not ov.any():
                 continue
-            im1 = _crop(np.asarray(images[i], np.float32), corners[i], box)
-            im2 = _crop(np.asarray(images[j], np.float32), corners[j], box)
+            if images_dev is None:
+                im1 = _crop(np.asarray(images[i], np.float32), corners[i],
+                            box)
+                im2 = _crop(np.asarray(images[j], np.float32), corners[j],
+                            box)
             excl1 = m1 & ~m2
             excl2 = m2 & ~m1
             lab, n_comp = ndi.label(ov)
@@ -372,19 +440,31 @@ def _find_seams_dp(images, corners, masks, sizes, grad: bool):
                 cx1, cy1 = _centroid(excl1, fb1)
                 cx2, cy2 = _centroid(excl2, fb2)
                 horiz = abs(cx1 - cx2) * bh >= abs(cy1 - cy2) * bw
-                c1, c2, vc = im1[sl], im2[sl], comp
+                vc = comp
+                if images_dev is None:
+                    c1, c2 = im1[sl], im2[sl]
+                else:
+                    c1 = c2 = None
                 if horiz:
                     prefer1 = cx1 <= cx2
                 else:
-                    c1 = c1.transpose(1, 0, 2)
-                    c2 = c2.transpose(1, 0, 2)
+                    if c1 is not None:
+                        c1 = c1.transpose(1, 0, 2)
+                        c2 = c2.transpose(1, 0, 2)
                     vc = comp.T
                     prefer1 = cy1 <= cy2
+                # Crop offsets in each image's local (roi-anchored) coords
+                # — the device-sourced bucket gathers rects by these.
+                off_i = (box[1] - corners[i][1] + y0,
+                         box[0] - corners[i][0] + x0)
+                off_j = (box[1] - corners[j][1] + y0,
+                         box[0] - corners[j][0] + x0)
                 tasks.append(dict(i=i, j=j, box=box, sl=sl, comp=comp,
                                   horiz=horiz, prefer1=prefer1,
-                                  c1=c1, c2=c2, vc=vc))
+                                  c1=c1, c2=c2, vc=vc,
+                                  off_i=off_i, off_j=off_j))
 
-    keep1_all = _run_dp_tasks(tasks, grad)
+    keep1_all = _run_dp_tasks(tasks, grad, images_dev)
 
     # Sequential application in pair order against the EVOLVING masks:
     # a pixel already surrendered to an earlier pair is out of play, so
@@ -410,10 +490,16 @@ def _find_seams_dp(images, corners, masks, sizes, grad: bool):
 # ---------------------------------------------------------------- driver ----
 def find_seams(images: Sequence[np.ndarray], corners: Sequence[Tuple[int, int]],
                masks: Sequence[np.ndarray],
-               seam_type: str = "dp_color") -> List[np.ndarray]:
+               seam_type: str = "dp_color",
+               images_dev=None) -> List[np.ndarray]:
     """seam_finder->find(images_f, corners, masks) (`:1065`): returns the
     updated masks.  seam_type in {no, voronoi, dp_color, dp_colorgrad,
-    gc_color, gc_colorgrad}; unknown types raise (parity `:1059-1063`)."""
+    gc_color, gc_colorgrad}; unknown types raise (parity `:1059-1063`).
+
+    images_dev: optional device-resident padded warped stack (N, Hp, Wp,
+    3), each image's rect anchored at the origin and content identical to
+    `images` — lets the DP bucket programs gather crop content on device
+    instead of re-uploading it through the tunnel."""
     known = {"no", "voronoi", "dp_color", "dp_colorgrad", "gc_color",
              "gc_colorgrad"}
     if seam_type not in known:
@@ -427,7 +513,8 @@ def find_seams(images: Sequence[np.ndarray], corners: Sequence[Tuple[int, int]],
     grad = seam_type.endswith("colorgrad")
 
     if seam_type.startswith("dp"):
-        return _find_seams_dp(images, corners, masks, sizes, grad)
+        return _find_seams_dp(images, corners, masks, sizes, grad,
+                              images_dev=images_dev)
 
     # Graph cut: the per-pair color cost depends only on the IMAGES (not
     # the evolving masks), so prefetch every overlapping pair's cost in

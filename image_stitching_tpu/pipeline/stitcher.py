@@ -478,6 +478,7 @@ def _stitch_body(source, cfg: StitchConfig,
         r_all = np.asarray(cameras.R, np.float32)
         corners, sizes = [], []
         rois = []
+        images_warped_dev = None
         for i in range(n):
             roi = warper.warp_roi(seam_shapes[i], k_seam[i],
                                   r_all[i])
@@ -509,6 +510,10 @@ def _stitch_body(source, cfg: StitchConfig,
                 for i in range(n)]
             masks_warped = [mw[i, :rois[i][3], :rois[i][2]]
                             for i in range(n)]
+            # Keep the padded stack for the DP seam finder: its bucket
+            # programs gather crop content from this device copy instead
+            # of re-uploading it.
+            images_warped_dev = images_warped_pad
         else:
             images_warped, masks_warped = [], []
             for i in range(n):
@@ -534,7 +539,8 @@ def _stitch_body(source, cfg: StitchConfig,
     # ---- seam finding (:1027-1067) ----
     with stage_timer("Finding seams", times):
         seam_masks = seams_mod.find_seams(
-            images_warped, corners, masks_warped, cfg.seam_find_type)
+            images_warped, corners, masks_warped, cfg.seam_find_type,
+            images_dev=images_warped_dev)
 
     # ---- compositing (:1075-1229) ----
     timelapse_frames: List[str] = []

@@ -148,6 +148,34 @@ def test_dp_seam_per_overlap_component():
     assert agree > 0.8, agree
 
 
+def test_dp_seams_device_sourced_matches_host(rng):
+    """find_seams with images_dev (crop content gathered on device from
+    the padded warped stack) == the host-upload path, bit for bit, on
+    u8-valued pixels — incl. vertical-seam (transposed) tasks."""
+    import jax.numpy as jnp
+
+    n, h, w = 3, 60, 80
+    imgs, corners, masks = [], [], []
+    for i in range(n):
+        img = rng.integers(0, 255, (h, w, 3)).astype(np.float32)
+        imgs.append(img)
+        # Mixed horizontal and vertical offsets to get both task
+        # orientations.
+        corners.append((i * 40, (i % 2) * 25))
+        m = np.full((h, w), 255, np.uint8)
+        if i == 1:
+            m[20:28, 30:50] = 0   # punch a hole: multi-component overlaps
+        masks.append(m)
+    out_host = seams_mod.find_seams(imgs, corners,
+                                    [m.copy() for m in masks], "dp_color")
+    pad = jnp.asarray(np.stack(imgs).astype(np.uint8))
+    out_dev = seams_mod.find_seams(imgs, corners,
+                                   [m.copy() for m in masks], "dp_color",
+                                   images_dev=pad)
+    for a, b in zip(out_host, out_dev):
+        np.testing.assert_array_equal(a, b)
+
+
 def _two_overlapping(rng, dx=24):
     img1 = rng.uniform(0, 255, (48, 64, 3)).astype(np.float32)
     img2 = img1.copy()
