@@ -111,6 +111,21 @@ class StitchConfig:
                                      # Identity for work_megapix=-1 (the
                                      # reference default, full res).
 
+    def __post_init__(self):
+        # Accept the enum VALUES as plain strings (the reference's globals
+        # are strings, and callers naturally write blend_type="feather").
+        # Without coercion a string silently missed every enum comparison
+        # (e.g. a string blend type bypassed the fused compose path, and a
+        # string exposure type degraded *_BLOCKS to plain GAIN).
+        coerce = (("expos_comp_type", ExposureCompensatorType),
+                  ("blend_type", BlenderType),
+                  ("timelapse_type", TimelapserType),
+                  ("wave_correct", WaveCorrectKind))
+        for name, enum_cls in coerce:
+            v = getattr(self, name)
+            if isinstance(v, str):
+                object.__setattr__(self, name, enum_cls(v.lower()))
+
     def replace(self, **kw) -> "StitchConfig":
         return dataclasses.replace(self, **kw)
 

@@ -39,15 +39,17 @@ compose path samples the gain maps in `pipeline/compose_fused.py`).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import ExposureCompensatorType as ECType
 from .imgproc import resize
 
-__all__ = ["ExposureCompensator", "feed", "apply_gain"]
+__all__ = ["ExposureCompensator", "feed", "feed_device", "apply_gain"]
 
 _ALPHA = 0.01
 _BETA = 100.0
@@ -233,6 +235,14 @@ def feed(corners, images_warped, masks_warped,
                 i_mat[sl_i, sl_j, c] = si / denom
                 i_mat[sl_j, sl_i, c] = (sj / denom).T
 
+    return _fit_gains(comp_type, n, grids, offs, b_tot, n_mat, i_mat,
+                      nr_feeds, nr_filtering, per_channel, blocks)
+
+
+def _fit_gains(comp_type, n, grids, offs, b_tot, n_mat, i_mat, nr_feeds,
+               nr_filtering, per_channel, blocks) -> ExposureCompensator:
+    """Shared tail of feed/feed_device: solve, filter, package."""
+    nch = i_mat.shape[-1]
     # nr_feeds iterations: applying gains scales each block's observed
     # intensity, i.e. scales I's rows (GainCompensator::feed loop).
     gains = np.ones((b_tot, nch))
@@ -262,6 +272,229 @@ def feed(corners, images_warped, masks_warped,
             out[i, :gh, :gw] = gm[..., 0]
         grid_sizes[i] = (gh, gw)
     return ExposureCompensator(comp_type, out, grid_sizes)
+
+
+# ------------------------------------------------- device-side statistics --
+# The host feed() needs the warped seam-scale images on the host; on the
+# uniform pipeline path they are already device-resident (the vmapped seam
+# warp's padded stacks) and the DP seam finder no longer downloads them
+# (ops/seams.py images_dev).  feed_device() computes the SAME N/I overlap
+# statistics on device — masked segment-sums keyed by block-pair — and
+# downloads only the few-KB stat tables, removing the warped-image
+# download from the default pipeline entirely.  Sums of u8-valued pixels
+# are exact in f32 (integers < 2^24); the GAIN intensity is an L2 norm,
+# f32-vs-f64 differences land ~1e-6 relative (parity-tested).
+
+def _intensity(img_f: "jnp.ndarray", nch_mode: str) -> "jnp.ndarray":
+    if nch_mode == "norm":
+        return jnp.linalg.norm(img_f, axis=-1)[..., None]
+    return img_f
+
+
+@functools.partial(jax.jit, static_argnames=("b_cap", "nch_mode"))
+def _self_stats_dev(stack, masks, params, *, b_cap: int, nch_mode: str):
+    """Per-image own-block stats.  params: (N, 5) int32 (gw, bw, bh, w, h).
+
+    Returns cnt (N, b_cap) and intensity sums (N, b_cap, nch) over each
+    image's masked real pixels, keyed by its block grid."""
+    n, hp, wp = masks.shape
+
+    def one(img, msk, prm):
+        gw, bw, bh, w, h = prm[0], prm[1], prm[2], prm[3], prm[4]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+        m = (msk > 0) & (rows < h) & (cols < w)
+        key = jnp.clip((rows // bh) * gw + cols // bw, 0, b_cap - 1)
+        inten = _intensity(img.astype(jnp.float32), nch_mode)
+        mf = m.astype(jnp.float32)
+        cnt = jax.ops.segment_sum(mf.ravel(), key.ravel(),
+                                  num_segments=b_cap)
+        sums = jax.vmap(
+            lambda ch: jax.ops.segment_sum((mf * ch).ravel(), key.ravel(),
+                                           num_segments=b_cap),
+            in_axes=-1, out_axes=-1)(inten)
+        return cnt, sums
+
+    return jax.vmap(one)(stack, masks, params)
+
+
+@functools.partial(jax.jit, static_argnames=("b_cap", "nch_mode", "bh_b",
+                                             "bw_b"))
+def _pair_stats_dev(stack, masks, params, idx_i, idx_j, off_i, off_j,
+                    rect_hw, *, b_cap: int, nch_mode: str, bh_b: int,
+                    bw_b: int):
+    """Bucketed pair-overlap stats, gathered on device.
+
+    idx_*: (T,) image indices; off_*: (T, 2) overlap-rect offsets in each
+    image's local coords; rect_hw: (T, 2) real rect dims inside the
+    (bh_b, bw_b) bucket.  Returns cnt (T, b_cap^2) and per-side intensity
+    sums (T, b_cap^2, nch) keyed by block_i * b_cap + block_j."""
+    n, hp, wp = masks.shape
+
+    def gather(img_idx, off):
+        rows = jnp.clip(off[0] + jnp.arange(bh_b), 0, hp - 1)
+        cols = jnp.clip(off[1] + jnp.arange(bw_b), 0, wp - 1)
+        sub_img = stack[img_idx][rows[:, None], cols[None, :], :]
+        sub_msk = masks[img_idx][rows[:, None], cols[None, :]]
+        prm = params[img_idx]
+        ly = off[0] + jnp.arange(bh_b)
+        lx = off[1] + jnp.arange(bw_b)
+        key = jnp.clip((ly[:, None] // prm[2]) * prm[0] +
+                       lx[None, :] // prm[1], 0, b_cap - 1)
+        return sub_img, sub_msk, key
+
+    def one(ii, jj, oi, oj, hw):
+        img_i, msk_i, key_i = gather(ii, oi)
+        img_j, msk_j, key_j = gather(jj, oj)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (bh_b, bw_b), 0) < hw[0]
+        cc = jax.lax.broadcasted_iota(jnp.int32, (bh_b, bw_b), 1) < hw[1]
+        both = (msk_i > 0) & (msk_j > 0) & rr & cc
+        bf = both.astype(jnp.float32)
+        key = (key_i * b_cap + key_j).ravel()
+        cnt = jax.ops.segment_sum(bf.ravel(), key,
+                                  num_segments=b_cap * b_cap)
+
+        def sums_of(img):
+            inten = _intensity(img.astype(jnp.float32), nch_mode)
+            return jax.vmap(
+                lambda ch: jax.ops.segment_sum((bf * ch).ravel(), key,
+                                               num_segments=b_cap * b_cap),
+                in_axes=-1, out_axes=-1)(inten)
+
+        return cnt, sums_of(img_i), sums_of(img_j)
+
+    return jax.vmap(one)(idx_i, idx_j, off_i, off_j, rect_hw)
+
+
+def feed_device(corners, sizes, images_dev, masks_dev,
+                comp_type: ECType = ECType.GAIN_BLOCKS, nr_feeds: int = 1,
+                nr_filtering: int = 2,
+                block_size: int = 64) -> ExposureCompensator:
+    """feed() with the N/I statistics computed on device.
+
+    images_dev/masks_dev: the pipeline's padded warped stacks (N, Hp, Wp,
+    3) / (N, Hp, Wp), each image's rect origin-anchored; sizes: per-image
+    (w, h).  The downloads are the few-KB stat tables (one packed
+    transfer), not the images."""
+    from ..core.transfer import fetch_tree
+    from .seams import _bucket_dim
+
+    n = len(sizes)
+    if comp_type == ECType.NO:
+        return ExposureCompensator(comp_type, np.ones(n),
+                                   np.ones((n, 2), np.int32))
+    blocks = comp_type in (ECType.GAIN_BLOCKS, ECType.CHANNELS_BLOCKS)
+    per_channel = comp_type in (ECType.CHANNELS, ECType.CHANNELS_BLOCKS)
+    nch = 3 if per_channel else 1
+    nch_mode = "channels" if per_channel else "norm"
+
+    grids: List[Tuple[int, int, int, int]] = []
+    offs: List[int] = []
+    b_tot = 0
+    for w, h in sizes:
+        g = _block_grid(w, h, block_size) if blocks else (1, 1, w, h)
+        grids.append(g)
+        offs.append(b_tot)
+        b_tot += g[0] * g[1]
+    b_cap = max(g[0] * g[1] for g in grids)
+
+    params = np.asarray([(g[0], g[2], g[3], s[0], s[1])
+                         for g, s in zip(grids, sizes)], np.int32)
+    params_d = jnp.asarray(params)
+
+    # Queue every upload/dispatch, download ALL stats in one transfer.
+    self_pend = _self_stats_dev(images_dev, masks_dev, params_d,
+                                b_cap=b_cap, nch_mode=nch_mode)
+    pair_meta = []
+    buckets = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            x, y, w, h = _overlap_rect(corners[i], sizes[i], corners[j],
+                                       sizes[j])
+            if w <= 0 or h <= 0:
+                continue
+            buckets.setdefault((_bucket_dim(h), _bucket_dim(w)),
+                               []).append((i, j, y - corners[i][1],
+                                           x - corners[i][0],
+                                           y - corners[j][1],
+                                           x - corners[j][0], h, w))
+    pair_pend = []
+    for (bh_b, bw_b), items in buckets.items():
+        t_pad = 1
+        while t_pad < len(items):
+            t_pad <<= 1
+        idx_i = np.zeros((t_pad,), np.int32)
+        idx_j = np.zeros((t_pad,), np.int32)
+        of_i = np.zeros((t_pad, 2), np.int32)
+        of_j = np.zeros((t_pad, 2), np.int32)
+        hw = np.ones((t_pad, 2), np.int32)
+        for slot, (i, j, oyi, oxi, oyj, oxj, h, w) in enumerate(items):
+            idx_i[slot], idx_j[slot] = i, j
+            of_i[slot] = (oyi, oxi)
+            of_j[slot] = (oyj, oxj)
+            hw[slot] = (h, w)
+        pair_pend.append(_pair_stats_dev(
+            images_dev, masks_dev, params_d, jnp.asarray(idx_i),
+            jnp.asarray(idx_j), jnp.asarray(of_i), jnp.asarray(of_j),
+            jnp.asarray(hw), b_cap=b_cap, nch_mode=nch_mode, bh_b=bh_b,
+            bw_b=bw_b))
+        pair_meta.append(items)
+
+    (self_cnt, self_sum), pair_stats = fetch_tree(
+        (self_pend, pair_pend))
+
+    # Assemble the global system exactly like the host feed.
+    n_mat = np.zeros((b_tot, b_tot))
+    i_mat = np.zeros((b_tot, b_tot, nch))
+
+    def block_rects(i):
+        gw, gh, bw, bh = grids[i]
+        w, h = sizes[i]
+        bx = np.arange(gw) * bw
+        by = np.arange(gh) * bh
+        x0 = (corners[i][0] + bx)[None, :].repeat(gh, 0).ravel()
+        y0 = (corners[i][1] + by)[:, None].repeat(gw, 1).ravel()
+        x1 = np.minimum(x0 + bw, corners[i][0] + w)
+        y1 = np.minimum(y0 + bh, corners[i][1] + h)
+        return x0, y0, x1, y1
+
+    for i in range(n):
+        gw, gh, _, _ = grids[i]
+        bi = gw * gh
+        ai = offs[i] + np.arange(bi)
+        cnt = self_cnt[i][:bi].astype(np.float64)
+        n_mat[ai, ai] = np.maximum(cnt, 1.0)
+        i_mat[ai, ai, :] = (self_sum[i][:bi].astype(np.float64) /
+                            np.maximum(cnt, 1.0)[:, None])
+
+    for items, (cnt_t, si_t, sj_t) in zip(pair_meta, pair_stats):
+        for slot, (i, j, *_rest) in enumerate(items):
+            gwi, ghi, _, _ = grids[i]
+            gwj, ghj, _, _ = grids[j]
+            bi, bj = gwi * ghi, gwj * ghj
+            cnt = cnt_t[slot].astype(np.float64).reshape(
+                b_cap, b_cap)[:bi, :bj]
+            si = si_t[slot].astype(np.float64).reshape(
+                b_cap, b_cap, nch)[:bi, :bj]
+            sj = sj_t[slot].astype(np.float64).reshape(
+                b_cap, b_cap, nch)[:bi, :bj]
+            xi0, yi0, xi1, yi1 = block_rects(i)
+            xj0, yj0, xj1, yj1 = block_rects(j)
+            rect_int = ((np.minimum(xi1[:, None], xj1[None, :]) >
+                         np.maximum(xi0[:, None], xj0[None, :])) &
+                        (np.minimum(yi1[:, None], yj1[None, :]) >
+                         np.maximum(yi0[:, None], yj0[None, :])))
+            npair = np.where(rect_int, np.maximum(cnt, 1.0), 0.0)
+            sl_i = slice(offs[i], offs[i] + bi)
+            sl_j = slice(offs[j], offs[j] + bj)
+            n_mat[sl_i, sl_j] = npair
+            n_mat[sl_j, sl_i] = npair.T
+            denom = np.maximum(npair, 1.0)[..., None]
+            i_mat[sl_i, sl_j, :] = si / denom
+            i_mat[sl_j, sl_i, :] = (sj / denom).transpose(1, 0, 2)
+
+    return _fit_gains(comp_type, n, grids, offs, b_tot, n_mat, i_mat,
+                      nr_feeds, nr_filtering, per_channel, blocks)
 
 
 def apply_gain(comp: ExposureCompensator, index: int, corner, img,

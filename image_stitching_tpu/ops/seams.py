@@ -391,7 +391,7 @@ def _find_seams_dp(images, corners, masks, sizes, grad: bool,
     in pair order (`image_stitching.cpp:1032-1065` machinery)."""
     import scipy.ndimage as ndi
 
-    n = len(images)
+    n = len(masks)
     masks0 = [m.copy() for m in masks]
     tasks = []
     for i in range(n):
@@ -508,8 +508,17 @@ def find_seams(images: Sequence[np.ndarray], corners: Sequence[Tuple[int, int]],
     masks = [np.asarray(m).copy().astype(np.uint8) for m in masks]
     if seam_type == "no":
         return masks
-    n = len(images)
-    sizes = [(img.shape[1], img.shape[0]) for img in images]
+    n = len(masks)
+    # Sizes from the masks: `images` may be None when images_dev carries
+    # the content (the pipeline's default DP path never downloads the
+    # warped images).
+    sizes = [(m.shape[1], m.shape[0]) for m in masks]
+    if images is None and (seam_type.startswith("gc")
+                           or (seam_type.startswith("dp")
+                               and images_dev is None)):
+        raise ValueError(
+            f"seam finder '{seam_type}' needs host images when no "
+            "images_dev stack is provided")
     grad = seam_type.endswith("colorgrad")
 
     if seam_type.startswith("dp"):

@@ -479,6 +479,7 @@ def _stitch_body(source, cfg: StitchConfig,
         corners, sizes = [], []
         rois = []
         images_warped_dev = None
+        masks_warped_dev = None
         for i in range(n):
             roi = warper.warp_roi(seam_shapes[i], k_seam[i],
                                   r_all[i])
@@ -501,19 +502,24 @@ def _stitch_body(source, cfg: StitchConfig,
                 proj_name=warper.proj_name,
                 pad_h=max(r[3] for r in rois),
                 pad_w=max(r[2] for r in rois))
-            # u8 + u8 downloads: 4x fewer tunnel bytes than f32 and the
-            # reference's own seam-scale representation (CV_8UC3 warp
-            # output, f32 conversion only inside the seam finder).
-            iw, mw = fetch_tree((images_warped_pad, masks_warped_pad))
-            images_warped = [
-                iw[i, :rois[i][3], :rois[i][2]].astype(np.float32)
-                for i in range(n)]
+            # Keep the padded stacks device-resident: exposure stats are
+            # computed on device (exposure.feed_device) and the DP seam
+            # finder gathers its crop content from this copy, so the
+            # warped IMAGES never download on the default path — only the
+            # masks do (host component labelling + partition application).
+            images_warped_dev = images_warped_pad
+            masks_warped_dev = masks_warped_pad
+            if cfg.seam_find_type.startswith("gc"):
+                # GraphCut runs its max-flow on host pixel costs.
+                iw, mw = fetch_tree((images_warped_pad, masks_warped_pad))
+                images_warped = [
+                    iw[i, :rois[i][3], :rois[i][2]].astype(np.float32)
+                    for i in range(n)]
+            else:
+                mw = fetch_tree(masks_warped_pad)
+                images_warped = None
             masks_warped = [mw[i, :rois[i][3], :rois[i][2]]
                             for i in range(n)]
-            # Keep the padded stack for the DP seam finder: its bucket
-            # programs gather crop content from this device copy instead
-            # of re-uploading it.
-            images_warped_dev = images_warped_pad
         else:
             images_warped, masks_warped = [], []
             for i in range(n):
@@ -529,12 +535,20 @@ def _stitch_body(source, cfg: StitchConfig,
 
     # ---- exposure compensation (:997-1025) ----
     with stage_timer("Compensating exposure", times):
-        compensator = exposure_mod.feed(
-            corners, images_warped, masks_warped,
-            comp_type=cfg.expos_comp_type,
-            nr_feeds=cfg.expos_comp_nr_feeds,
-            nr_filtering=cfg.expos_comp_nr_filtering,
-            block_size=cfg.expos_comp_block_size)
+        if images_warped_dev is not None:
+            compensator = exposure_mod.feed_device(
+                corners, sizes, images_warped_dev, masks_warped_dev,
+                comp_type=cfg.expos_comp_type,
+                nr_feeds=cfg.expos_comp_nr_feeds,
+                nr_filtering=cfg.expos_comp_nr_filtering,
+                block_size=cfg.expos_comp_block_size)
+        else:
+            compensator = exposure_mod.feed(
+                corners, images_warped, masks_warped,
+                comp_type=cfg.expos_comp_type,
+                nr_feeds=cfg.expos_comp_nr_feeds,
+                nr_filtering=cfg.expos_comp_nr_filtering,
+                block_size=cfg.expos_comp_block_size)
 
     # ---- seam finding (:1027-1067) ----
     with stage_timer("Finding seams", times):

@@ -296,6 +296,53 @@ def test_crop_irregular_boundary():
     assert out.shape[0] > 10 and out.shape[1] > 30
 
 
+def test_config_coerces_enum_strings():
+    """StitchConfig must accept the enum VALUES as plain strings: a string
+    blend type silently bypassed the fused compose path, and a string
+    exposure type degraded *_BLOCKS to plain GAIN (regression)."""
+    from image_stitching_tpu.config import StitchConfig, WaveCorrectKind
+    cfg = StitchConfig(blend_type="feather",
+                       expos_comp_type="channels_blocks",
+                       timelapse_type="as_is", wave_correct="vert")
+    assert cfg.blend_type is BlenderType.FEATHER
+    assert cfg.expos_comp_type is ECT.CHANNELS_BLOCKS
+    assert cfg.timelapse_type is TimelapserType.AS_IS
+    assert cfg.wave_correct is WaveCorrectKind.VERT
+    with pytest.raises(ValueError):
+        StitchConfig(blend_type="bogus")
+
+
+def test_exposure_feed_device_matches_host(rng):
+    """feed_device (stats segment-summed on device from the padded warped
+    stacks) == host feed for every compensator type; u8-integer channel
+    sums are exact in f32, the GAIN L2-norm intensity lands ~1e-6."""
+    import jax.numpy as jnp
+
+    n, hp, wp = 4, 200, 260
+    sizes = [(240, 180), (250, 190), (240, 180), (260, 200)]
+    corners = [(0, 0), (120, 30), (260, 0), (350, 40)]
+    imgs, msks = [], []
+    stack = np.zeros((n, hp, wp, 3), np.uint8)
+    mstack = np.zeros((n, hp, wp), np.uint8)
+    for i, (w, h) in enumerate(sizes):
+        img = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+        m = np.full((h, w), 255, np.uint8)
+        m[:10, :20] = 0
+        imgs.append(img.astype(np.float32))
+        msks.append(m)
+        stack[i, :h, :w] = img
+        mstack[i, :h, :w] = m
+    for ct in (ECT.GAIN, ECT.CHANNELS, ECT.GAIN_BLOCKS,
+               ECT.CHANNELS_BLOCKS):
+        host = exposure_mod.feed(corners, imgs, msks, comp_type=ct)
+        dev = exposure_mod.feed_device(corners, sizes, jnp.asarray(stack),
+                                       jnp.asarray(mstack), comp_type=ct)
+        np.testing.assert_allclose(np.asarray(dev.gains, np.float64),
+                                   np.asarray(host.gains, np.float64),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(dev.grid_sizes, host.grid_sizes)
+
+
 def test_fused_feather_matches_loop_blender():
     """The exact-feather fused compose == the loop path (warper.warp per
     image + FeatherBlender EDT weights), incl. a nontrivial seam mask.
