@@ -17,7 +17,29 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["fetch_tree"]
+__all__ = ["fetch_tree", "pack_mask_bits", "unpack_mask_bits"]
+
+
+@jax.jit
+def pack_mask_bits(m):
+    """(..., W) mask (nonzero = set) -> (..., ceil(W/8)) uint8, MSB-first.
+
+    8x fewer d->h bytes for binary masks at the ~25-35 MB/s tunnel
+    download rate; `np.unpackbits` (bit_order 'big') inverts on host."""
+    w = m.shape[-1]
+    pad = (-w) % 8
+    mb = (m > 0).astype(jnp.int32)
+    if pad:
+        mb = jnp.pad(mb, [(0, 0)] * (mb.ndim - 1) + [(0, pad)])
+    mb = mb.reshape(m.shape[:-1] + ((w + pad) // 8, 8))
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+    return jnp.einsum("...k,k->...", mb, weights).astype(jnp.uint8)
+
+
+def unpack_mask_bits(bits: np.ndarray, w: int) -> np.ndarray:
+    """Host inverse of pack_mask_bits: returns (..., w) uint8 in {0, 255}."""
+    un = np.unpackbits(bits, axis=-1)[..., :w]
+    return un * np.uint8(255)
 
 
 def _pack(leaves):

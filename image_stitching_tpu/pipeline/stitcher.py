@@ -509,15 +509,18 @@ def _stitch_body(source, cfg: StitchConfig,
             # masks do (host component labelling + partition application).
             images_warped_dev = images_warped_pad
             masks_warped_dev = masks_warped_pad
+            from ..core.transfer import pack_mask_bits, unpack_mask_bits
+            mw_bits = pack_mask_bits(masks_warped_pad)  # 8x fewer d2h bytes
             if cfg.seam_find_type.startswith("gc"):
                 # GraphCut runs its max-flow on host pixel costs.
-                iw, mw = fetch_tree((images_warped_pad, masks_warped_pad))
+                iw, mwb = fetch_tree((images_warped_pad, mw_bits))
                 images_warped = [
                     iw[i, :rois[i][3], :rois[i][2]].astype(np.float32)
                     for i in range(n)]
             else:
-                mw = fetch_tree(masks_warped_pad)
+                mwb = fetch_tree(mw_bits)
                 images_warped = None
+            mw = unpack_mask_bits(mwb, int(masks_warped_pad.shape[2]))
             masks_warped = [mw[i, :rois[i][3], :rois[i][2]]
                             for i in range(n)]
         else:

@@ -180,3 +180,15 @@ def test_fetch_tree_roundtrip():
     # All-host tree returns unchanged.
     t2 = {"x": host}
     assert fetch_tree(t2)["x"] is host
+
+
+def test_pack_mask_bits_roundtrip():
+    import jax.numpy as jnp
+    from image_stitching_tpu.core.transfer import (pack_mask_bits,
+                                                   unpack_mask_bits)
+    rng = np.random.default_rng(3)
+    for w in (8, 13, 64, 129):
+        m = (rng.integers(0, 2, (3, 5, w)) * 255).astype(np.uint8)
+        bits = np.asarray(pack_mask_bits(jnp.asarray(m)))
+        assert bits.shape == (3, 5, -(-w // 8))
+        np.testing.assert_array_equal(unpack_mask_bits(bits, w), m)
