@@ -86,6 +86,43 @@ def _overlap_rect(c1, s1, c2, s2):
     return x, y, x2 - x, y2 - y
 
 
+def _block_rects(grids, sizes, corners, i):
+    """Global-coord rects of image i's blocks (shared by feed paths)."""
+    gw, gh, bw, bh = grids[i]
+    w, h = sizes[i]
+    bx = np.arange(gw) * bw
+    by = np.arange(gh) * bh
+    x0 = (corners[i][0] + bx)[None, :].repeat(gh, 0).ravel()
+    y0 = (corners[i][1] + by)[:, None].repeat(gw, 1).ravel()
+    x1 = np.minimum(x0 + bw, corners[i][0] + w)
+    y1 = np.minimum(y0 + bh, corners[i][1] + h)
+    return x0, y0, x1, y1
+
+
+def _assemble_pair(n_mat, i_mat, grids, sizes, corners, offs, i, j, cnt,
+                   si, sj):
+    """Write one pair's (cnt, per-side intensity-sum) stats into the
+    global system with OpenCV's max(1, countNonZero) rect floor —
+    identical for the host and device stat producers."""
+    gwi, ghi, _, _ = grids[i]
+    gwj, ghj, _, _ = grids[j]
+    bi, bj = gwi * ghi, gwj * ghj
+    xi0, yi0, xi1, yi1 = _block_rects(grids, sizes, corners, i)
+    xj0, yj0, xj1, yj1 = _block_rects(grids, sizes, corners, j)
+    rect_int = ((np.minimum(xi1[:, None], xj1[None, :]) >
+                 np.maximum(xi0[:, None], xj0[None, :])) &
+                (np.minimum(yi1[:, None], yj1[None, :]) >
+                 np.maximum(yi0[:, None], yj0[None, :])))
+    npair = np.where(rect_int, np.maximum(cnt, 1.0), 0.0)
+    sl_i = slice(offs[i], offs[i] + bi)
+    sl_j = slice(offs[j], offs[j] + bj)
+    n_mat[sl_i, sl_j] = npair
+    n_mat[sl_j, sl_i] = npair.T
+    denom = np.maximum(npair, 1.0)[..., None]
+    i_mat[sl_i, sl_j, :] = si / denom
+    i_mat[sl_j, sl_i, :] = (sj / denom).transpose(1, 0, 2)
+
+
 def _solve_gain_system(n_mat: np.ndarray, i_mat: np.ndarray) -> np.ndarray:
     """One channel of the OpenCV gain system over B block-images.
 
@@ -168,17 +205,6 @@ def feed(corners, images_warped, masks_warped,
         by = (y0 + np.arange(h)) // bh
         return by[:, None] * gw + bx[None, :]
 
-    def block_rects(i):
-        gw, gh, bw, bh = grids[i]
-        w, h = sizes[i]
-        bx = np.arange(gw) * bw
-        by = np.arange(gh) * bh
-        x0 = (corners[i][0] + bx)[None, :].repeat(gh, 0).ravel()
-        y0 = (corners[i][1] + by)[:, None].repeat(gw, 1).ravel()
-        x1 = np.minimum(x0 + bw, corners[i][0] + w)
-        y1 = np.minimum(y0 + bh, corners[i][1] + h)
-        return x0, y0, x1, y1
-
     for i in range(n):
         gw, gh, _, _ = grids[i]
         bi = gw * gh
@@ -201,7 +227,6 @@ def feed(corners, images_warped, masks_warped,
                 continue
             gwj, ghj, _, _ = grids[j]
             bj = gwj * ghj
-            aj = offs[j] + np.arange(bj)
             oxi, oyi = x - corners[i][0], y - corners[i][1]
             oxj, oyj = x - corners[j][0], y - corners[j][1]
             both = (msks[i][oyi:oyi + h, oxi:oxi + w] &
@@ -211,29 +236,16 @@ def feed(corners, images_warped, masks_warped,
             key = (bmap_i * bj + bmap_j)[both]
             cnt = np.bincount(key, minlength=bi * bj).astype(
                 np.float64).reshape(bi, bj)
-            # Pairs whose rects intersect contribute N >= 1 even with
-            # disjoint masks (OpenCV's max(1, countNonZero) floor).
-            xi0, yi0, xi1, yi1 = block_rects(i)
-            xj0, yj0, xj1, yj1 = block_rects(j)
-            rect_int = ((np.minimum(xi1[:, None], xj1[None, :]) >
-                         np.maximum(xi0[:, None], xj0[None, :])) &
-                        (np.minimum(yi1[:, None], yj1[None, :]) >
-                         np.maximum(yi0[:, None], yj0[None, :])))
-            npair = np.where(rect_int, np.maximum(cnt, 1.0), 0.0)
-            sl_i = slice(offs[i], offs[i] + bi)
-            sl_j = slice(offs[j], offs[j] + bj)
-            n_mat[sl_i, sl_j] = npair
-            n_mat[sl_j, sl_i] = npair.T
             ii = intens[i][oyi:oyi + h, oxi:oxi + w]
             ij = intens[j][oyj:oyj + h, oxj:oxj + w]
-            denom = np.maximum(npair, 1.0)
-            for c in range(nch):
-                si = np.bincount(key, weights=ii[..., c][both],
-                                 minlength=bi * bj).reshape(bi, bj)
-                sj = np.bincount(key, weights=ij[..., c][both],
-                                 minlength=bi * bj).reshape(bi, bj)
-                i_mat[sl_i, sl_j, c] = si / denom
-                i_mat[sl_j, sl_i, c] = (sj / denom).T
+            si = np.stack([np.bincount(key, weights=ii[..., c][both],
+                                       minlength=bi * bj).reshape(bi, bj)
+                           for c in range(nch)], -1)
+            sj = np.stack([np.bincount(key, weights=ij[..., c][both],
+                                       minlength=bi * bj).reshape(bi, bj)
+                           for c in range(nch)], -1)
+            _assemble_pair(n_mat, i_mat, grids, sizes, corners, offs,
+                           i, j, cnt, si, sj)
 
     return _fit_gains(comp_type, n, grids, offs, b_tot, n_mat, i_mat,
                       nr_feeds, nr_filtering, per_channel, blocks)
@@ -377,7 +389,7 @@ def feed_device(corners, sizes, images_dev, masks_dev,
     (w, h).  The downloads are the few-KB stat tables (one packed
     transfer), not the images."""
     from ..core.transfer import fetch_tree
-    from .seams import _bucket_dim
+    from .seams import bucket_dim as _bucket_dim
 
     n = len(sizes)
     if comp_type == ECType.NO:
@@ -443,20 +455,10 @@ def feed_device(corners, sizes, images_dev, masks_dev,
     (self_cnt, self_sum), pair_stats = fetch_tree(
         (self_pend, pair_pend))
 
-    # Assemble the global system exactly like the host feed.
+    # Assemble the global system exactly like the host feed (shared
+    # _assemble_pair helper carries the rect-intersection N floor).
     n_mat = np.zeros((b_tot, b_tot))
     i_mat = np.zeros((b_tot, b_tot, nch))
-
-    def block_rects(i):
-        gw, gh, bw, bh = grids[i]
-        w, h = sizes[i]
-        bx = np.arange(gw) * bw
-        by = np.arange(gh) * bh
-        x0 = (corners[i][0] + bx)[None, :].repeat(gh, 0).ravel()
-        y0 = (corners[i][1] + by)[:, None].repeat(gw, 1).ravel()
-        x1 = np.minimum(x0 + bw, corners[i][0] + w)
-        y1 = np.minimum(y0 + bh, corners[i][1] + h)
-        return x0, y0, x1, y1
 
     for i in range(n):
         gw, gh, _, _ = grids[i]
@@ -469,29 +471,16 @@ def feed_device(corners, sizes, images_dev, masks_dev,
 
     for items, (cnt_t, si_t, sj_t) in zip(pair_meta, pair_stats):
         for slot, (i, j, *_rest) in enumerate(items):
-            gwi, ghi, _, _ = grids[i]
-            gwj, ghj, _, _ = grids[j]
-            bi, bj = gwi * ghi, gwj * ghj
+            bi = grids[i][0] * grids[i][1]
+            bj = grids[j][0] * grids[j][1]
             cnt = cnt_t[slot].astype(np.float64).reshape(
                 b_cap, b_cap)[:bi, :bj]
             si = si_t[slot].astype(np.float64).reshape(
                 b_cap, b_cap, nch)[:bi, :bj]
             sj = sj_t[slot].astype(np.float64).reshape(
                 b_cap, b_cap, nch)[:bi, :bj]
-            xi0, yi0, xi1, yi1 = block_rects(i)
-            xj0, yj0, xj1, yj1 = block_rects(j)
-            rect_int = ((np.minimum(xi1[:, None], xj1[None, :]) >
-                         np.maximum(xi0[:, None], xj0[None, :])) &
-                        (np.minimum(yi1[:, None], yj1[None, :]) >
-                         np.maximum(yi0[:, None], yj0[None, :])))
-            npair = np.where(rect_int, np.maximum(cnt, 1.0), 0.0)
-            sl_i = slice(offs[i], offs[i] + bi)
-            sl_j = slice(offs[j], offs[j] + bj)
-            n_mat[sl_i, sl_j] = npair
-            n_mat[sl_j, sl_i] = npair.T
-            denom = np.maximum(npair, 1.0)[..., None]
-            i_mat[sl_i, sl_j, :] = si / denom
-            i_mat[sl_j, sl_i, :] = (sj / denom).transpose(1, 0, 2)
+            _assemble_pair(n_mat, i_mat, grids, sizes, corners, offs,
+                           i, j, cnt, si, sj)
 
     return _fit_gains(comp_type, n, grids, offs, b_tot, n_mat, i_mat,
                       nr_feeds, nr_filtering, per_channel, blocks)

@@ -14,7 +14,7 @@ TPU-native formulations:
     int bookkeeping), each component crop is canonicalized (transposed so
     the seam always runs down rows, ownership sides from the centroids of
     the two images' EXCLUSIVE regions around the component — the
-    source/sink sides), padded into power-of-two buckets, and ALL
+    source/sink sides), padded into half-octave buckets, and ALL
     components across ALL pairs run as a handful of vmapped `lax.scan`
     dynamic programs (one dispatch per bucket instead of one per pair).
     The partitions are then applied sequentially in OpenCV's pair order
@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["find_seams", "edt_sq"]
+__all__ = ["find_seams", "edt_sq", "bucket_dim"]
 
 
 # ---------------------------------------------------------------- helpers --
@@ -254,9 +254,9 @@ def _dp_seam_batch_core(i1, i2, valid, prefer1, hw, grad: bool):
 
 @functools.partial(jax.jit, static_argnames=("grad",))
 def _dp_seam_batch(i1, i2, valid, prefer1, hw, grad: bool = False):
-    """Host-upload bucket entry: crops arrive float16 (half the tunnel
-    upload bytes; exact for the pipeline's u8-valued seam-scale pixels) —
-    cost math runs in f32."""
+    """Host-upload bucket entry: crops arrive float16 when that is exact
+    for the content (integer-valued pixels; half the tunnel upload bytes)
+    and float32 otherwise — cost math always runs in f32."""
     return _dp_seam_batch_core(i1.astype(jnp.float32),
                                i2.astype(jnp.float32), valid, prefer1, hw,
                                grad)
@@ -292,7 +292,13 @@ def _dp_seam_batch_dev(stack, idx_i, idx_j, off_i, off_j, valid, prefer1,
     return _dp_seam_batch_core(i1, i2, valid, prefer1, hw, grad)
 
 
-def _bucket_dim(x: int, lo: int = 16) -> int:
+def _f16_exact(a: np.ndarray) -> bool:
+    """True iff every value is an integer representable exactly in f16."""
+    return (float(np.abs(a).max(initial=0.0)) <= 2048.0
+            and not np.any(np.mod(a, 1.0)))
+
+
+def bucket_dim(x: int, lo: int = 16) -> int:
     """Next bucket size >= x from the half-octave series {2^k, 1.5*2^k}.
 
     Pure powers of two padded seam-scale overlaps by up to 2x in each
@@ -306,12 +312,16 @@ def _bucket_dim(x: int, lo: int = 16) -> int:
     return b
 
 
+_bucket_dim = bucket_dim  # internal alias
+
+
 def _run_dp_tasks(tasks, grad: bool, images_dev=None):
     """Execute all component-seam DPs in a handful of device dispatches.
 
-    Tasks are padded into power-of-two (H, W, T) buckets so the jit cache
-    stays bounded; each bucket is ONE vmapped program (at 37 rig images
-    the old per-pair path was 666 sequential dispatch+sync round trips).
+    Tasks are padded into half-octave (H, W, T) buckets (`_bucket_dim`)
+    so the jit cache stays bounded; each bucket is ONE vmapped program
+    (at 37 rig images the old per-pair path was 666 sequential
+    dispatch+sync round trips).
     Tunnel discipline: queue every bucket's uploads first, then dispatch
     every program, then fetch ALL outputs in one packed download — the
     per-bucket np.asarray sync paid ~25-30 ms of tunnel latency per
@@ -340,7 +350,7 @@ def _run_dp_tasks(tasks, grad: bool, images_dev=None):
         pl = np.zeros((t_pad,), bool)
         hw = np.ones((t_pad, 2), np.int32)
         if images_dev is None:
-            i1 = np.zeros((t_pad, bh, bw, 3), np.float16)
+            i1 = np.zeros((t_pad, bh, bw, 3), np.float32)
             i2 = np.zeros_like(i1)
         else:
             ix_i = np.zeros((t_pad,), np.int32)
@@ -362,6 +372,14 @@ def _run_dp_tasks(tasks, grad: bool, images_dev=None):
                 of_i[slot] = t["off_i"]
                 of_j[slot] = t["off_j"]
         if images_dev is None:
+            # f16 upload only when EXACT (integer-valued pixels within
+            # f16's exact-integer range — the pipeline's u8-derived
+            # crops); fractional floats (e.g. external callers, the
+            # non-uniform path's resized images) keep full f32 so seam
+            # placement is unchanged vs the reference comparison.
+            if _f16_exact(i1) and _f16_exact(i2):
+                i1 = i1.astype(np.float16)
+                i2 = i2.astype(np.float16)
             uploaded.append((key, idxs, tuple(
                 jnp.asarray(a) for a in (i1, i2, vv, pl, hw))))
         else:
@@ -539,10 +557,21 @@ def find_seams(images: Sequence[np.ndarray], corners: Sequence[Tuple[int, int]],
                                    sizes[j])
                 if box[2] <= 0 or box[3] <= 0:
                     continue
-                im1 = _crop(np.asarray(images[i], np.float16), corners[i],
+                # Masks only ever shrink in the sequential loop below, so
+                # a no-overlap check on the INITIAL masks is sound — and
+                # skips the upload/compile for rect-intersecting pairs
+                # whose warped masks never meet.
+                m1 = _crop(masks[i], corners[i], box) > 0
+                m2 = _crop(masks[j], corners[j], box) > 0
+                if not (m1 & m2).any():
+                    continue
+                im1 = _crop(np.asarray(images[i], np.float32), corners[i],
                             box)
-                im2 = _crop(np.asarray(images[j], np.float16), corners[j],
+                im2 = _crop(np.asarray(images[j], np.float32), corners[j],
                             box)
+                if _f16_exact(im1) and _f16_exact(im2):
+                    im1 = im1.astype(np.float16)
+                    im2 = im2.astype(np.float16)
                 pend.append(((i, j), _dp_seam_cost(
                     jnp.asarray(im1), jnp.asarray(im2), grad=grad)))
         fetched = fetch_tree([c for _, c in pend])

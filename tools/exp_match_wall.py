@@ -28,8 +28,7 @@ import jax.numpy as jnp  # noqa: E402
 
 import image_stitching_tpu  # noqa: F401,E402
 from image_stitching_tpu.core.transfer import fetch_tree  # noqa: E402
-from image_stitching_tpu.ops.features import (Features,  # noqa: E402
-                                              orb_detect_and_describe)
+from image_stitching_tpu.ops.features import Features  # noqa: E402
 from image_stitching_tpu.ops.matching import match_all_pairs  # noqa: E402
 
 
@@ -46,10 +45,8 @@ def main():
     key = jax.random.PRNGKey(0)
 
     def run(shift: float):
-        f = feats_for(shift)
-        pm = match_all_pairs(f, key, match_conf=0.3)
-        t_detect_done = None
-        return fetch_tree(pm), t_detect_done
+        return fetch_tree(match_all_pairs(feats_for(shift), key,
+                                          match_conf=0.3))
 
     # Warm-up compiles.
     run(0.0)
@@ -62,12 +59,15 @@ def main():
         ts_all.append(time.perf_counter() - t0)
 
     # (2) match+download alone: features synced to host first, re-fed as
-    # fresh device arrays.
+    # fresh device arrays, and the uploads DRAINED before the clock
+    # starts (uploads serialize with device compute through the tunnel,
+    # so an un-synced upload would inflate the isolated match number).
     ts_match = []
     for r in range(4):
         f = feats_for(float(10 + r))
         f_host = jax.tree.map(np.asarray, f)          # sync + host copy
         f_dev = jax.tree.map(jnp.asarray, f_host)     # fresh upload
+        float(jnp.ravel(f_dev.xy)[0])                 # drain the uploads
         t0 = time.perf_counter()
         pm = match_all_pairs(f_dev, key, match_conf=0.3)
         fetch_tree(pm)
