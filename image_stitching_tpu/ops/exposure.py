@@ -28,12 +28,16 @@ tests/test_ops.py):
     default border), and at apply time the map is bilinearly stretched
     over the image (cv2::resize INTER_LINEAR semantics) and multiplied in.
 
-The solve runs in float64 on the host like OpenCV's (double + DECOMP_SVD):
-the stats are a few-KB reduction of seam-scale images (already host-side
-for seam finding) and the system is at most a few thousand unknowns, far
-below the threshold where the device pays for itself.  The APPLY side — a
-multiply over every compose-scale pixel — stays on device (the fused
-compose path samples the gain maps in `pipeline/compose_fused.py`).
+The gain SOLVE runs in float64 on the host like OpenCV's (double +
+DECOMP_SVD): the system is at most a few thousand unknowns.  The N/I
+overlap STATISTICS have two producers with identical semantics: `feed`
+reduces host images (oracle tests, non-uniform pipeline path), while
+`feed_device` segment-sums the pipeline's device-resident padded warped
+stacks and downloads only the few-KB tables — on the default path the
+warped images never reach the host at all (ops/seams.py gathers its DP
+crops from the same stacks).  The APPLY side — a multiply over every
+compose-scale pixel — stays on device (the fused compose path samples
+the gain maps in `pipeline/compose_fused.py`).
 """
 
 from __future__ import annotations
