@@ -24,6 +24,8 @@ Modes (BENCH_MODE env; diagnostics go to stderr, the JSON line to stdout):
   rig37          the reference's flagship 5-ring 37-image rig
                  (image_stitching.cpp:87-102) at reduced resolution —
                  666 candidate pairs stress matching/BA/seam scaling
+  mosaic100      BASELINE config 5 shape: 100-tile narrow-fov mosaic,
+                 range matcher + CG bundle adjust + serializer round-trip
 
 Overridables: BENCH_IMAGES / BENCH_H / BENCH_W (e2e), BENCH_PAIRS (pairs).
 """
@@ -297,6 +299,64 @@ def _bench_rig37():
     }
 
 
+def _bench_mosaic100():
+    """BASELINE config 5 shape: a 100+ tile mosaic — BestOf2NearestRange
+    matching over the ring, globally refined rotations (N=100 switches BA
+    to the CG inner solver), DP seams, serializer round-trip, fused
+    compose of the ~28k-px-wide canvas.  BENCH_MOSAIC_N overrides N."""
+    from image_stitching_tpu.config import StitchConfig
+    from image_stitching_tpu.data.synth import (make_ring_captures,
+                                                write_capture_dir)
+    from image_stitching_tpu.pipeline.stitcher import stitch
+
+    n = int(os.environ.get("BENCH_MOSAIC_N", "100"))
+    h, w = 480, 640
+    cache_root = os.path.expanduser("~/.cache/stitch_bench")
+    dirs = {}
+    for seed in (31, 32):
+        d = os.path.join(cache_root, f"mosaic{n}_{h}x{w}_s{seed}")
+        if not os.path.isdir(d) or not os.path.exists(
+                os.path.join(d, "gt.npz")):
+            # Narrow fov: 100 tiles x 3.6 deg of fresh yaw wrap the full
+            # circle like a motorized-mosaic capture.
+            images, k, rs = make_ring_captures(
+                n_images=n, hw=(h, w), fov_deg=8, overlap_ratio=0.55,
+                seed=seed)
+            write_capture_dir(d, images, k, rs)
+            np.savez(os.path.join(d, "gt.npz"), k=k, rs=np.stack(rs))
+        dirs[seed] = d
+    run_dir = tempfile.mkdtemp(prefix="bench_mosaic_")
+    os.chdir(run_dir)
+    # GAIN exposure: the reference's BLOCKS mode at 100 tiles builds a
+    # ~3000-unknown SVD solve (~tens of seconds of host f64) that would
+    # swamp the device measurement; global GAIN keeps the mode honest
+    # while still exposure-compensating.
+    cfg = StitchConfig(num_features=512, range_width=3,
+                       expos_comp_type="gain", checkpoint_dir=run_dir)
+    stitch(dirs[32], cfg, output="")  # warm-up compiles
+    t0 = time.perf_counter()
+    res = stitch(dirs[31], cfg, output="")
+    elapsed = time.perf_counter() - t0
+    gt = np.load(os.path.join(dirs[31], "gt.npz"))
+    reproj = _reproj_err_px(res.cameras, res.kept_indices,
+                            gt["k"], gt["rs"], (h, w),
+                            work_scale=res.work_scale)
+    mp = len(res.kept_indices) * h * w / 1e6
+    value = mp / elapsed
+    print(f"# mosaic{n}: kept {len(res.kept_indices)}/{n}, {elapsed:.2f}s, "
+          f"canvas {res.panorama.shape}, reproj {reproj:.3f} px, stages: " +
+          ", ".join(f"{k}={v:.2f}s" for k, v in res.stage_times.items()),
+          file=sys.stderr)
+    return {
+        "metric": "mosaic100_stitch_throughput",
+        "value": round(value, 3),
+        "unit": "MP/s/chip",
+        "vs_baseline": round(value / NORTH_STAR, 3),
+        "reproj_err_px": round(reproj, 3),
+        "kept": len(res.kept_indices),
+    }
+
+
 def _pair_latency_ms(n_feat=1500, trials=20):
     """p50 latency of one full pair registration (detect+match+RANSAC)."""
     import jax
@@ -398,7 +458,8 @@ def main():
     mode = os.environ.get("BENCH_MODE", "e2e")
     fn = {"e2e": _bench_e2e, "pairs": _bench_pairs,
           "gigapixel": _bench_gigapixel, "vga_pair": _bench_vga_pair,
-          "cyl4": _bench_cyl4, "rig37": _bench_rig37}[mode]
+          "cyl4": _bench_cyl4, "rig37": _bench_rig37,
+          "mosaic100": _bench_mosaic100}[mode]
     print(json.dumps(fn()))
     return 0
 
