@@ -321,7 +321,7 @@ def _bench_mosaic100():
             # circle like a motorized-mosaic capture.
             images, k, rs = make_ring_captures(
                 n_images=n, hw=(h, w), fov_deg=8, overlap_ratio=0.55,
-                seed=seed)
+                seed=seed, texture_detail=True)
             write_capture_dir(d, images, k, rs)
             np.savez(os.path.join(d, "gt.npz"), k=k, rs=np.stack(rs))
         dirs[seed] = d

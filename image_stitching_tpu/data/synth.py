@@ -28,11 +28,18 @@ __all__ = ["sphere_texture_rgb", "render_view", "make_ring_captures",
 
 
 def sphere_texture_rgb(lon: np.ndarray, lat: np.ndarray,
-                       seed: int = 7) -> np.ndarray:
+                       seed: int = 7, detail: bool = False) -> np.ndarray:
     """Smooth, feature-rich procedural texture on the sphere.
 
     Sum of random spherical harmonics-ish trig products per channel plus
     high-frequency detail so ORB/SIFT find corners everywhere.
+
+    detail=True compresses the base layers into [0.15, 0.85] headroom
+    BEFORE the cell-noise octaves: the default hard clip saturates whole
+    lon/lat bands flat (box rects sum past the range), which starves
+    narrow-fov views of corners — a 100-tile 8-deg mosaic had images
+    with 33 keypoints in such a band.  Default (False) preserves the
+    exact texture existing caches/tests were rendered from.
     """
     rng = np.random.default_rng(seed)
     out = np.zeros(lon.shape + (3,), np.float32)
@@ -64,6 +71,10 @@ def sphere_texture_rgb(lon: np.ndarray, lat: np.ndarray,
     def cell_hash(u, v, salt):
         s = np.sin(u * 127.1 + v * 311.7 + salt) * 43758.547
         return (s - np.floor(s)).astype(np.float32)
+    if detail:
+        # Compress saturated base into headroom so the cell octaves
+        # survive everywhere (narrow-fov captures need them).
+        out = np.clip(out, 0.0, 1.0) * 0.7 + 0.15
     for amp, scale in ((0.22, 60.0), (0.15, 220.0), (0.12, 800.0)):
         cu = np.floor(lon * scale)
         cv = np.floor(lat * scale)
@@ -74,7 +85,7 @@ def sphere_texture_rgb(lon: np.ndarray, lat: np.ndarray,
 
 
 def render_view(k: np.ndarray, r: np.ndarray, hw: Tuple[int, int],
-                seed: int = 7) -> np.ndarray:
+                seed: int = 7, detail: bool = False) -> np.ndarray:
     """Render the sphere texture seen by a camera: ray = R K^-1 p."""
     h, w = hw
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float64) + 0.0
@@ -85,13 +96,13 @@ def render_view(k: np.ndarray, r: np.ndarray, hw: Tuple[int, int],
     lon = np.arctan2(rays[..., 0], rays[..., 2])
     lat = np.arcsin(np.clip(rays[..., 1] / np.maximum(norm, 1e-12), -1, 1))
     return sphere_texture_rgb(lon.astype(np.float32),
-                              lat.astype(np.float32), seed)
+                              lat.astype(np.float32), seed, detail=detail)
 
 
 def make_ring_captures(n_images: int = 4, hw: Tuple[int, int] = (240, 320),
                        fov_deg: float = 55.0, pitch_deg: float = 0.0,
                        overlap_ratio: float = 0.45, seed: int = 7,
-                       rng_noise: float = 0.0):
+                       rng_noise: float = 0.0, texture_detail: bool = False):
     """A single-ring horizontal panorama: returns (images, K, Rs).
 
     Consecutive yaw step = fov * (1 - overlap_ratio) so neighbors overlap.
@@ -110,7 +121,7 @@ def make_ring_captures(n_images: int = 4, hw: Tuple[int, int] = (240, 320),
                         yaw + jitter[1], jitter[2]], np.float32)
         r = np.asarray(euler_to_rotation_matrix(eul, EulerOrder.YXZ),
                        np.float64)
-        view = render_view(k, r, hw, seed)
+        view = render_view(k, r, hw, seed, detail=texture_detail)
         # Per-view sensor noise: real captures never match perfectly, and
         # the reference's near-duplicate heuristic (conf > 3 -> 0,
         # matchers.cpp) zeroes pairs whose inlier ratio is too perfect.
