@@ -163,6 +163,28 @@ def test_crop_result(stitched, capture_dir, tmp_path):
     assert (np.mean(cropped > 0)) > np.mean(padded > 0)
 
 
+def test_range_matcher_narrow_fov_mosaic(tmp_path):
+    """BestOf2NearestRange end-to-end: a narrow-fov 8-tile ring (the
+    mosaic100 bench geometry) stitches fully with range_width=3 — only
+    neighbor pairs are matched, the rest of the N^2 table stays empty,
+    and the component filter must still keep the whole chain."""
+    d = tmp_path / "mosaic"
+    images, k, rs = make_ring_captures(
+        n_images=8, hw=(120, 160), fov_deg=12, overlap_ratio=0.55,
+        seed=9, texture_detail=True)
+    write_capture_dir(str(d), images, k, rs)
+    run = tmp_path / "run"
+    run.mkdir()
+    os.chdir(run)
+    cfg = StitchConfig(num_features=300, range_width=3,
+                       expos_comp_type="gain", blend_type="no",
+                       compose_megapix=-1, seam_megapix=0.02,
+                       checkpoint_dir=str(run))
+    res = stitch(str(d), cfg, output="")
+    assert res.kept_indices == list(range(8))
+    assert res.mask.mean() > 0.9
+
+
 def test_unknown_feature_type(capture_dir):
     d, *_ = capture_dir
     with pytest.raises(ValueError, match="Unknown 2D features type"):
