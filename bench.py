@@ -372,11 +372,13 @@ def _pair_latency_ms(n_feat=1500, trials=20):
         return register_pair(imgs[0] + shift, imgs[1] + shift, key,
                              n_features=n_feat)
 
-    jax.block_until_ready(one(0.0).h)
+    # Download-sync, NOT block_until_ready: the latter is not an honest
+    # completion barrier through the axon tunnel (CLAUDE.md).
+    float(jnp.ravel(one(0.0).h)[0])
     lat = []
     for i in range(trials):
         t0 = time.perf_counter()
-        jax.block_until_ready(one(float(i + 1)).h)  # fresh content
+        float(jnp.ravel(one(float(i + 1)).h)[0])  # fresh content
         lat.append(time.perf_counter() - t0)
     return float(np.percentile(lat, 50) * 1e3)
 
@@ -394,14 +396,16 @@ def _bench_pairs():
     keys = jax.random.split(jax.random.PRNGKey(0), b)
     reg = make_batched_register(mesh, (480, 640), n_features=1024,
                                 n_hyp=512)
+    # Download-sync (block_until_ready is not an honest barrier through
+    # the axon tunnel — CLAUDE.md).
     import jax.numpy as _jnp
-    jax.block_until_ready(reg(pairs, keys)[0])
+    float(_jnp.ravel(reg(pairs, keys)[0])[0])
     t0 = time.perf_counter()
     n_rep = 3
     for i in range(n_rep):
         # Fresh pixel content each rep: axon memoizes identical executions.
         out = reg(pairs + float(i + 1), keys)
-    jax.block_until_ready(out[0])
+    float(_jnp.ravel(out[0])[0])
     per_pair_ms = (time.perf_counter() - t0) / (n_rep * b) * 1e3
     value = 1e3 / per_pair_ms
     print(f"# {b} VGA pairs, {per_pair_ms:.3f} ms/pair", file=sys.stderr)
@@ -435,12 +439,14 @@ def _bench_gigapixel():
     fn = make_sharded_multiband(mesh, n_img, (h, w), canvas_hw,
                                 (-canvas_hw[1] // 2, 500), focal, n_bands=4)
     args = (imgs, jnp.asarray(k), jnp.asarray(rs), weights)
-    jax.block_until_ready(fn(*args))
+    # Download-sync (block_until_ready is not an honest barrier through
+    # the axon tunnel — CLAUDE.md).
+    float(jnp.ravel(fn(*args))[0])
     t0 = time.perf_counter()
     n_rep = 3
     for i in range(n_rep):
         out = fn(imgs + float(i + 1), *args[1:])
-    jax.block_until_ready(out)
+    float(jnp.ravel(out)[0])
     dt = (time.perf_counter() - t0) / n_rep
     mp = canvas_hw[0] * canvas_hw[1] / 1e6
     value = mp / dt
