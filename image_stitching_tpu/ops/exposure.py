@@ -173,6 +173,8 @@ def feed(corners, images_warped, masks_warped,
          comp_type: ECType = ECType.GAIN_BLOCKS, nr_feeds: int = 1,
          nr_filtering: int = 2, block_size: int = 64) -> ExposureCompensator:
     """Fit the compensator (compensator->feed at `:1023`)."""
+    if isinstance(comp_type, str):
+        comp_type = ECType(comp_type.lower())
     n = len(images_warped)
     if comp_type == ECType.NO:
         return ExposureCompensator(comp_type, np.ones(n),
@@ -392,6 +394,8 @@ def feed_device(corners, sizes, images_dev, masks_dev,
     3) / (N, Hp, Wp), each image's rect origin-anchored; sizes: per-image
     (w, h).  The downloads are the few-KB stat tables (one packed
     transfer), not the images."""
+    if isinstance(comp_type, str):
+        comp_type = ECType(comp_type.lower())
     from ..core.transfer import fetch_tree
     from .seams import bucket_dim as _bucket_dim
 
