@@ -130,14 +130,17 @@ def _two_nn(dist: jnp.ndarray, valid_b: jnp.ndarray):
 
 
 def _two_nn_hamming(desc_a, desc_b, valid_b):
-    """2-NN over binary descriptors via the XLA bit-plane matmul + top_k.
+    """2-NN over binary descriptors via the XLA bit-plane matmul.
 
     An experimental fused Pallas kernel lives in kernels.hamming_pallas;
     honest fresh-input benchmarks on v5e put XLA far ahead (0.26ms vs 73ms
     at K=4096: XLA streams the 64MB distance matrix at HBM speed while the
     kernel's serial B-tile loop defeats DMA pipelining), so the XLA path
-    is the production one.  Beware: the axon runtime memoizes executions
-    on identical input buffers — benchmark kernels with fresh inputs.
+    is the production one.  match_pair computes the matrix once and reads
+    its transpose for the reverse direction; this helper remains the
+    single-direction entry (kernels A/B tooling).  Beware: the axon
+    runtime memoizes executions on identical input buffers — benchmark
+    kernels with fresh inputs.
     """
     return _two_nn(hamming_matrix(desc_a, desc_b).astype(jnp.float32),
                    valid_b)
@@ -155,13 +158,13 @@ def match_pair(feat_a: Features, feat_b: Features, key: jnp.ndarray,
     kb = feat_b.max_features
     if jnp.issubdtype(feat_a.desc.dtype, jnp.floating):
         dist = l2_matrix(feat_a.desc, feat_b.desc)
-        b1, d1, _, d2 = _two_nn(dist, feat_b.valid)
-        a1, rd1, _, rd2 = _two_nn(dist.T, feat_a.valid)
     else:
-        b1, d1, _, d2 = _two_nn_hamming(feat_a.desc, feat_b.desc,
-                                        feat_b.valid)
-        a1, rd1, _, rd2 = _two_nn_hamming(feat_b.desc, feat_a.desc,
-                                          feat_a.valid)
+        # One bit-plane matmul serves BOTH directions (the reverse 2-NN
+        # reads the transpose) — half the matmul FLOPs and half the peak
+        # (K, K)-per-pair memory of computing hamming(b, a) separately.
+        dist = hamming_matrix(feat_a.desc, feat_b.desc).astype(jnp.float32)
+    b1, d1, _, d2 = _two_nn(dist, feat_b.valid)
+    a1, rd1, _, rd2 = _two_nn(dist.T, feat_a.valid)
 
     # Forward 1->2.
     fwd_ok = (d1 < (1.0 - match_conf) * d2) & feat_a.valid
