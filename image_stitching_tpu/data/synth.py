@@ -54,16 +54,31 @@ def sphere_texture_rgb(lon: np.ndarray, lat: np.ndarray,
         acc = (acc - acc.min()) / max(acc.max() - acc.min(), 1e-6)
         out[..., c] = acc
     # Corner-rich structure: sharp-edged random lon/lat rectangles (FAST
-    # needs strong intensity steps, not smooth gradients).
+    # needs strong intensity steps, not smooth gradients).  Each box is
+    # evaluated only on the rows whose [min, max] latitude range can
+    # intersect it — identical output to the full-array test (rows outside
+    # the range cannot satisfy `la <= lat < la+dla`), but ~15x faster at
+    # bench resolutions where most boxes miss the view entirely.  The rng
+    # call sequence (lo, la, dlo, dla, color) matches the original loop
+    # exactly, so cached captures regenerate bit-identically.
+    row_lo = lat.min(axis=-1)
+    row_hi = lat.max(axis=-1)
     for _ in range(400):
         lo = rng.uniform(-np.pi, np.pi)
         la = rng.uniform(-1.35, 1.15)
         dlo = rng.uniform(0.02, 0.22)
         dla = rng.uniform(0.02, 0.16)
-        dlon = np.mod(lon - lo + np.pi, 2 * np.pi) - np.pi
-        box = (dlon >= 0) & (dlon < dlo) & (lat >= la) & (lat < la + dla)
         color = rng.uniform(-0.9, 0.9, 3).astype(np.float32)
-        out[box] += color
+        cand = np.nonzero((row_hi >= la) & (row_lo < la + dla))[0]
+        if cand.size == 0:
+            continue
+        r0, r1 = int(cand[0]), int(cand[-1]) + 1
+        sublon = lon[r0:r1]
+        sublat = lat[r0:r1]
+        dlon = np.mod(sublon - lo + np.pi, 2 * np.pi) - np.pi
+        box = (dlon >= 0) & (dlon < dlo) & (sublat >= la) & \
+            (sublat < la + dla)
+        out[r0:r1][box] += color
     # Multi-octave cell noise anchored in world (lon, lat): piecewise-
     # constant cells at several angular scales give every view pixel-scale
     # corners that stay consistent across cameras (detectors need texture
