@@ -25,15 +25,41 @@ _LIB_PATHS = [
     os.path.join(os.path.dirname(__file__), "libstitch_runtime.so"),
 ]
 
+def _try_autobuild() -> None:
+    """Build the shared library on first import when it is absent.
+
+    The .so is gitignored, so a fresh checkout (or rebuilt container)
+    would otherwise silently fall back to the pure-Python paths — round-3
+    benches lost 3x ingest throughput to exactly that.  Best-effort: any
+    failure leaves the fallback behavior unchanged.  STITCH_NO_AUTOBUILD=1
+    disables (e.g. for tests of the pure-Python fallbacks)."""
+    if os.environ.get("STITCH_NO_AUTOBUILD"):
+        return
+    src_dir = os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                           "..", "..", "native"))
+    if not os.path.exists(os.path.join(src_dir, "Makefile")):
+        return
+    import subprocess
+    try:
+        subprocess.run(["make", "-C", src_dir], check=True,
+                       capture_output=True, timeout=300)
+    except Exception:
+        pass
+
+
 lib = None
-for _p in _LIB_PATHS:
-    _p = os.path.abspath(_p)
-    if os.path.exists(_p):
-        try:
-            lib = ctypes.CDLL(_p)
-            break
-        except OSError:
-            lib = None
+for _attempt in range(2):
+    for _p in _LIB_PATHS:
+        _p = os.path.abspath(_p)
+        if os.path.exists(_p):
+            try:
+                lib = ctypes.CDLL(_p)
+                break
+            except OSError:
+                lib = None
+    if lib is not None or _attempt == 1:
+        break
+    _try_autobuild()
 
 if lib is not None:
     c_char_p = ctypes.c_char_p
