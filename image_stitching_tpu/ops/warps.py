@@ -451,6 +451,30 @@ class Warper:
         u, v = _forward_uv_np(self.proj_name, pts, k, r, self.scale)
         u = u + off[0]
         v = v + off[1]
+        if self.proj_name in ("spherical", "cylindrical", "mercator"):
+            # Date-line fix: a view straddling azimuth +-pi gets u values
+            # on both branch ends, so the naive min/max spans the whole
+            # 2*pi*scale period (observed: one 8-deg mosaic tile with a
+            # 16404-px-wide ROI vs 364 px for its neighbors, inflating the
+            # padded warp stack 19x).  For the projections whose u is
+            # linear in longitude, re-branch u around the image center's
+            # azimuth; keep the result only when it is genuinely tighter —
+            # a pole-in-view image really does span all longitudes and
+            # keeps the full-width ROI (cv2 semantics).  Rect corners may
+            # then lie outside [-pi*s, pi*s]; every backward map is
+            # periodic in u, so compositing is unaffected and the wrap
+            # tile contributes at one canvas edge instead of both.
+            period = 2.0 * math.pi * self.scale
+            if float(u.max()) - float(u.min()) > 0.5 * period:
+                cu, _ = _forward_uv_np(
+                    self.proj_name,
+                    np.array([[(w - 1) / 2.0, (h - 1) / 2.0]], np.float32),
+                    k, r, self.scale)
+                cu = float(cu[0]) + off[0]
+                u2 = np.mod(u - cu + 0.5 * period, period) - \
+                    0.5 * period + cu
+                if float(u2.max()) - float(u2.min()) <= 0.5 * period:
+                    u = u2
         tl_u, tl_v = float(u.min()), float(v.min())
         br_u, br_v = float(u.max()), float(v.max())
 

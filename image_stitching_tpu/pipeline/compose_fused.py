@@ -84,6 +84,41 @@ def _patch_bilinear(img, sx, sy):
     return row0 * (1 - fy) + row1 * fy
 
 
+def _patch_bilinear_scalar(img, sx, sy):
+    """Same math and border semantics as `_patch_bilinear`, via four
+    scalar gathers.
+
+    At large point counts XLA materializes the slice-gather's
+    (n, 2, 2, C) patch tensor with T(8,128) tiling on the tiny trailing
+    dims — a 42x padding blowup that OOMs the compile at rig37/mosaic
+    stack shapes (observed: f32[51M,2,2,3] "would exceed memory",
+    104 GB for a 2.4 GB tensor).  The scalar form keeps every
+    intermediate (n,) / (n, C)-shaped, which tiles cleanly; it is ~31%
+    slower than the slice-gather at small shapes (tools/profile_gather),
+    so `_warp_stack` switches on total point count."""
+    h, w = img.shape[0], img.shape[1]
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    fx = jnp.where(x0i < 0, 0.0, jnp.where(x0i > w - 2, 1.0, fx))
+    fy = jnp.where(y0i < 0, 0.0, jnp.where(y0i > h - 2, 1.0, fy))
+    bx = jnp.clip(x0i, 0, w - 2)
+    by = jnp.clip(y0i, 0, h - 2)
+    top = img[by, bx]
+    tr = img[by, bx + 1]
+    bl = img[by + 1, bx]
+    br = img[by + 1, bx + 1]
+    if img.ndim == 3:
+        fx = fx[..., None]
+        fy = fy[..., None]
+    row0 = top * (1 - fx) + tr * fx
+    row1 = bl * (1 - fx) + br * fx
+    return row0 * (1 - fy) + row1 * fy
+
+
 def _bilinear_sample(img, sx, sy, fill=0.0):
     """Gather with bilinear weights, constant fill outside."""
     h, w = img.shape[0], img.shape[1]
@@ -124,17 +159,25 @@ def _warp_stack(images, ks, rs, scale, tls, *, proj_name: str, pad_h: int,
     tools/profile_tunnel.py).
     """
     proj_bwd = PROJECTIONS[proj_name][1]
-    hc, wc = images.shape[1], images.shape[2]
+    n, hc, wc = images.shape[0], images.shape[1], images.shape[2]
     # Accept the device-resident u8 seam stack directly (avoids a ~10 MB
     # host->device f32 re-upload through the tunnel per stitch).
     images = images.astype(jnp.float32)
+    # Slice-gather wins ~31% at bench shapes; at big total point counts
+    # its (n, 2, 2, C) patch tensor gets a T(8,128)-tiled layout when XLA
+    # materializes it (42x padding -> compile-time HBM OOM at rig37 /
+    # mosaic100 shapes), so switch to scalar gathers there.
+    total_pts = n * pad_h * pad_w
+    sample = (_patch_bilinear if total_pts <= 8_000_000
+              else _patch_bilinear_scalar)
 
-    def one(img, k, r, tl):
+    def one(args):
+        img, k, r, tl = args
         us = tl[0] + jnp.arange(pad_w, dtype=jnp.float32)
         vs = tl[1] + jnp.arange(pad_h, dtype=jnp.float32)
         uu, vv = jnp.meshgrid(us, vs)
         sx, sy, valid = _backward_xy(proj_bwd, uu, vv, k, r, scale)
-        warped = _patch_bilinear(img, sx, sy)
+        warped = sample(img, sx, sy)
         xr = jnp.round(sx)
         yr = jnp.round(sy)
         wmask = valid & (xr >= 0) & (xr <= wc - 1) & (yr >= 0) & \
@@ -144,7 +187,14 @@ def _warp_stack(images, ks, rs, scale, tls, *, proj_name: str, pad_h: int,
                              ).astype(jnp.uint8)
         return warped_u8, wmask.astype(jnp.uint8) * jnp.uint8(255)
 
-    return jax.vmap(one)(images, ks, rs, tls)
+    # Bound live f32 intermediates: one vmapped program when the whole
+    # stack's worth fits comfortably, else lax.map in vmapped chunks
+    # (outputs stay one (N, pad_h, pad_w[, C]) u8 stack either way).
+    if total_pts <= 64_000_000:
+        return jax.vmap(lambda i, k, r, t: one((i, k, r, t)))(
+            images, ks, rs, tls)
+    chunk = max(1, 64_000_000 // (pad_h * pad_w))
+    return jax.lax.map(one, (images, ks, rs, tls), batch_size=chunk)
 
 
 def _interp_matrix(coords, n_src: int):
