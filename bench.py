@@ -241,7 +241,9 @@ def _bench_cyl4():
                             gt["k"], gt["rs"], (1080, 1920))
     mp = len(res.kept_indices) * 1080 * 1920 / 1e6
     value = mp / elapsed
-    print(f"# cyl4: {elapsed:.2f}s, reproj {reproj:.3f} px", file=sys.stderr)
+    print(f"# cyl4: {elapsed:.2f}s, reproj {reproj:.3f} px, stages: " +
+          ", ".join(f"{k}={v:.2f}s" for k, v in res.stage_times.items()),
+          file=sys.stderr)
     return {
         "metric": "cylindrical_4x1080p_throughput",
         "value": round(value, 3),
