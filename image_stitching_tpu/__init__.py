@@ -24,9 +24,14 @@ try:
     # Check BOTH the env var and the config value: callers (tests, the
     # multi-chip dryrun) switch to CPU via jax.config.update before
     # importing this package, leaving the env var pointing at the TPU.
+    # Only the PRIMARY (first) platform decides: the env may list a CPU
+    # fallback after the TPU plugin ("axon,cpu"), which must not disable
+    # the cache — a substring test did exactly that and silently turned
+    # every process into a full recompile.
     _platforms = (_jax.config.jax_platforms or
                   _os.environ.get("JAX_PLATFORMS", "axon"))
-    if "cpu" not in _platforms:
+    _primary = _platforms.split(",")[0].strip().lower()
+    if _primary != "cpu":
         _cache = _os.environ.get(
             "IMAGE_STITCHING_TPU_CACHE",
             _os.path.expanduser("~/.cache/jax_stitch_tpu"))

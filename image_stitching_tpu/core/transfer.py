@@ -69,6 +69,15 @@ def fetch_tree(tree):
         return tree
     dev = [leaves[i] for i in idx]
     metas = [(leaf.shape, np.dtype(leaf.dtype)) for leaf in dev]
+    # First-run warm-up (core.logging._force_fence): drain the dispatch
+    # queue BEFORE compiling+dispatching the packed program.  The axon
+    # worker crashes (UNAVAILABLE) when a NEW program compiles through
+    # the tunnel over a deep in-flight queue; the per-stage fences are
+    # not granular enough for mid-stage packed fetches (observed at the
+    # VGA warp stage with a cold compile cache).
+    from .logging import _force_fence, device_fence
+    if _force_fence:
+        device_fence()
     buf = np.asarray(_pack_jit(dev))
     outs = []
     off = 0
