@@ -453,6 +453,17 @@ def bundle_adjust(cams: Cameras, problem: Optional[BAProblem],
         jnp.asarray(problem.w), free, cost=cost_func, n_cams=n,
         max_iters=max_iters, solver=solver)
 
-    if not np.all(np.isfinite(np.asarray(params))):
+    # Return HOST-numpy cameras via ONE packed download: every later
+    # consumer (serializer, wave_correct, median focal, K() in the warp
+    # and compose stages) calls np.asarray on the fields, and with
+    # device-array fields each of those was a separate ~27 ms tunnel
+    # sync (~0.16 s of unattributed wall per stitch at VGA scale).
+    from ..core.transfer import fetch_tree
+    p_host, r_host = fetch_tree(
+        (params, rodrigues_to_matrix(params[:, 4:7])))
+    if not np.all(np.isfinite(p_host)):
         raise RuntimeError("Camera parameters adjusting failed.")
-    return _cameras_from_params(params, cams)
+    return Cameras(
+        focal=p_host[:, 0].copy(), ppx=p_host[:, 1].copy(),
+        ppy=p_host[:, 2].copy(), aspect=p_host[:, 3].copy(),
+        R=r_host, t=np.asarray(cams.t))

@@ -83,15 +83,22 @@ class Cameras:
             ppy=self.ppy * scale)
 
 
-def make_k(focal, aspect, ppx, ppy) -> jnp.ndarray:
-    """Build ``(..., 3, 3)`` K from scalar fields (CameraParams::K)."""
-    focal = jnp.asarray(focal)
-    zero = jnp.zeros_like(focal)
-    one = jnp.ones_like(focal)
-    row0 = jnp.stack([focal, zero, ppx * one], axis=-1)
-    row1 = jnp.stack([zero, focal * aspect, ppy * one], axis=-1)
-    row2 = jnp.stack([zero, zero, one], axis=-1)
-    return jnp.stack([row0, row1, row2], axis=-2)
+def make_k(focal, aspect, ppx, ppy):
+    """Build ``(..., 3, 3)`` K from scalar fields (CameraParams::K).
+
+    Stays in numpy when every input is host-resident: host callers
+    (`np.asarray(cameras.K())` in the warp/compose stages) otherwise
+    pay a device round trip — one ~27 ms tunnel sync each through
+    axon.  Traced/device inputs keep the jnp path."""
+    xp = (jnp if any(isinstance(a, jax.Array)
+                     for a in (focal, aspect, ppx, ppy)) else np)
+    focal = xp.asarray(focal)
+    zero = xp.zeros_like(focal)
+    one = xp.ones_like(focal)
+    row0 = xp.stack([focal, zero, ppx * one], axis=-1)
+    row1 = xp.stack([zero, focal * aspect, ppy * one], axis=-1)
+    row2 = xp.stack([zero, zero, one], axis=-1)
+    return xp.stack([row0, row1, row2], axis=-2)
 
 
 def get_fov(cam: Cameras):
