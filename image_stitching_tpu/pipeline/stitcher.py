@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import types
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -411,8 +412,13 @@ def _stitch_body(source, cfg: StitchConfig,
                 pm_sub = jax.tree.map(
                     lambda x: x[sub] if x.ndim >= 2 and
                     x.shape[:2] == (n, n) else x, pm)
-                f_sub = jax.tree.map(
-                    lambda x: x[np.asarray(indices)], fstack)
+                # pack_correspondences reads ONLY feats.xy (host numpy
+                # after the matching-stage packed fetch): tree-mapping
+                # the whole Features would dispatch dead gathers of the
+                # device descriptor/response stacks into the tunnel
+                # stream.
+                f_sub = types.SimpleNamespace(
+                    xy=np.asarray(fstack.xy)[np.asarray(indices)])
                 problem = pack_correspondences(f_sub, pm_sub,
                                                cfg.conf_thresh)
                 cameras = bundle_adjust(seed_cams, problem,
