@@ -42,13 +42,19 @@ NORTH_STAR = 30.0  # MP/s/chip (BASELINE.json)
 
 
 def _reproj_err_px(cameras, kept, k_true, rs_true, hw,
-                   work_scale: float = 1.0) -> float:
+                   work_scale: float = 1.0, pairs=None) -> float:
     """Mean pairwise reprojection error (px) vs synthetic ground truth.
 
-    For each adjacent kept pair (a, b): the estimated inter-image map
+    For each evaluated kept pair (a, b): the estimated inter-image map
     H = K_b R_b R_a^T K_a^{-1} vs the ground-truth one, evaluated on a
     pixel grid — gauge-invariant (wave-correct/BA global rotations cancel
-    in relative maps), so no alignment step is needed."""
+    in relative maps), so no alignment step is needed.
+
+    `pairs` (kept-index pairs) defaults to consecutive indices — right
+    for a single ring where consecutive images overlap.  Multi-ring rigs
+    pass explicit overlapping pairs: index adjacency crosses ring
+    boundaries there (last image of ring r to first of ring r+1 can have
+    near-zero overlap, where relative pose is unconstrained by BA)."""
     kc = np.asarray(cameras.K(), np.float64)
     # stitch() returns cameras at WORK scale (reference semantics,
     # image_stitching.cpp:626-638); rescale K to full-res coordinates so
@@ -65,14 +71,29 @@ def _reproj_err_px(cameras, kept, k_true, rs_true, hw,
         q = hmat @ pts
         return q[:2] / np.where(np.abs(q[2:]) < 1e-12, 1e-12, q[2:])
 
+    if pairs is None:
+        pairs = [(a, a + 1) for a in range(len(kept) - 1)]
     errs = []
-    for a in range(len(kept) - 1):
-        b = a + 1
+    for a, b in pairs:
         h_est = kc[b] @ rc[b].T @ rc[a] @ np.linalg.inv(kc[a])
         ia, ib = kept[a], kept[b]
         h_gt = k_true @ rs_true[ib].T @ rs_true[ia] @ np.linalg.inv(k_true)
         errs.append(np.linalg.norm(proj(h_est) - proj(h_gt), axis=0).mean())
     return float(np.mean(errs)) if errs else float("nan")
+
+
+def _overlapping_pairs(kept, rs_true, max_angle_deg: float):
+    """Kept-index pairs whose ground-truth optical axes are within
+    `max_angle_deg` — i.e. views that genuinely share scene content."""
+    z = np.stack([np.asarray(rs_true[i], np.float64)[:, 2] for i in kept])
+    cosang = np.clip(z @ z.T, -1.0, 1.0)
+    ang = np.degrees(np.arccos(cosang))
+    out = []
+    for a in range(len(kept)):
+        for b in range(a + 1, len(kept)):
+            if ang[a, b] <= max_angle_deg:
+                out.append((a, b))
+    return out
 
 
 def _bench_e2e():
@@ -245,7 +266,8 @@ def _bench_cyl4():
     res = results[best]
     gt = np.load(os.path.join(dirs[best], "gt.npz"))
     reproj = _reproj_err_px(res.cameras, res.kept_indices,
-                            gt["k"], gt["rs"], (1080, 1920))
+                            gt["k"], gt["rs"], (1080, 1920),
+                            work_scale=res.work_scale)
     mp = len(res.kept_indices) * 1080 * 1920 / 1e6
     value = mp / elapsed[best]
     med = float(np.median(list(elapsed.values())))
@@ -295,8 +317,13 @@ def _bench_rig37():
     res = stitch(dirs[21], cfg, output="")
     elapsed = time.perf_counter() - t0
     gt = np.load(os.path.join(dirs[21], "gt.npz"))
+    # Rig fov is 68 deg (data/synth.make_rig_captures): pairs within
+    # ~0.65 fov share real overlap; index adjacency would cross ring
+    # boundaries where views share nothing.
+    ov_pairs = _overlapping_pairs(res.kept_indices, gt["rs"], 45.0)
     reproj = _reproj_err_px(res.cameras, res.kept_indices,
-                            gt["k"], gt["rs"], (h, w))
+                            gt["k"], gt["rs"], (h, w),
+                            work_scale=res.work_scale, pairs=ov_pairs)
     mp = len(res.kept_indices) * h * w / 1e6
     value = mp / elapsed
     print(f"# rig37: kept {len(res.kept_indices)}/37, {elapsed:.2f}s, "

@@ -429,7 +429,11 @@ def feed_device(corners, sizes, images_dev, masks_dev,
         grids.append(g)
         offs.append(b_tot)
         b_tot += g[0] * g[1]
-    b_cap = max(g[0] * g[1] for g in grids)
+    # Next power of two: b_cap is a static dim of the stat programs;
+    # bucketing it lets different-geometry runs share compiled programs.
+    b_cap = 1
+    while b_cap < max(g[0] * g[1] for g in grids):
+        b_cap <<= 1
 
     params = np.asarray([(g[0], g[2], g[3], s[0], s[1])
                          for g, s in zip(grids, sizes)], np.int32)

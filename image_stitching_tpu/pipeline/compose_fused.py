@@ -486,8 +486,11 @@ def _prep_gains(compensator, n: int, comp_corners, comp_sizes):
 def _prep_seam_masks(seam_masks, n: int):
     """Pad seam masks to one static shape and pre-dilate (the reference's
     dilate at image_stitching.cpp:1169)."""
-    sh_pad = max(m.shape[0] for m in seam_masks)
-    sw_pad = max(m.shape[1] for m in seam_masks)
+    # Snap to 64: these are static program dims; coarse quantisation lets
+    # runs with slightly different geometry reuse compiled programs
+    # (compiles through the axon tunnel cost 20-300 s each).
+    sh_pad = -(-max(m.shape[0] for m in seam_masks) // 64) * 64
+    sw_pad = -(-max(m.shape[1] for m in seam_masks) // 64) * 64
     # Upload u8, cast on device: 4x fewer tunnel bytes than f32.
     smask = np.zeros((n, sh_pad, sw_pad), np.uint8)
     for i, m in enumerate(seam_masks):
@@ -520,8 +523,12 @@ def fused_compose(images: jnp.ndarray, ks: np.ndarray, rs: np.ndarray,
         feather_rounds = max(1, int(np.ceil(np.log2(blend_width + 1))))
     step = 1 << max(n_bands, 1)
     cx, cy, cw, ch = canvas
-    canvas_w = -(-cw // step) * step
-    canvas_h = -(-ch // step) * step
+    # Static program dims: snap the padded canvas to a coarse quantum
+    # (and the band step) so near-identical geometries compile once.
+    # The output is sliced back to (ch, cw) after the download.
+    quant = max(step, 256)
+    canvas_w = -(-cw // quant) * quant
+    canvas_h = -(-ch // quant) * quant
 
     gap = 3 * (1 << n_bands)
     tls = []
@@ -539,8 +546,9 @@ def fused_compose(images: jnp.ndarray, ks: np.ndarray, rs: np.ndarray,
         brs.append((brx, bry))
     pad_w = max(br[0] - tl[0] for tl, br in zip(tls, brs))
     pad_h = max(br[1] - tl[1] for tl, br in zip(tls, brs))
-    pad_w = min(-(-pad_w // step) * step, canvas_w)
-    pad_h = min(-(-pad_h // step) * step, canvas_h)
+    pad_step = max(step, 128)
+    pad_w = min(-(-pad_w // pad_step) * pad_step, canvas_w)
+    pad_h = min(-(-pad_h // pad_step) * pad_step, canvas_h)
     # Keep rects inside the canvas.
     tls = [(min(tl[0], cx + canvas_w - pad_w),
             min(tl[1], cy + canvas_h - pad_h)) for tl in tls]

@@ -506,8 +506,12 @@ def _stitch_body(source, cfg: StitchConfig,
                 jnp.asarray(np.asarray([[r[0], r[1]] for r in rois],
                                        np.float32)),
                 proj_name=warper.proj_name,
-                pad_h=max(r[3] for r in rois),
-                pad_w=max(r[2] for r in rois))
+                # Snap to 64: static program dims — coarse quantisation
+                # lets runs with slightly different geometry (different
+                # captures, same rig) reuse compiled programs instead of
+                # paying 20-300 s tunnel compiles per stitch.
+                pad_h=-(-max(r[3] for r in rois) // 64) * 64,
+                pad_w=-(-max(r[2] for r in rois) // 64) * 64)
             # Keep the padded stacks device-resident: exposure stats are
             # computed on device (exposure.feed_device) and the DP seam
             # finder gathers its crop content from this copy, so the
