@@ -525,8 +525,11 @@ def fused_compose(images: jnp.ndarray, ks: np.ndarray, rs: np.ndarray,
     cx, cy, cw, ch = canvas
     # Static program dims: snap the padded canvas to a coarse quantum
     # (and the band step) so near-identical geometries compile once.
-    # The output is sliced back to (ch, cw) after the download.
-    quant = max(step, 256)
+    # The output is sliced back to (ch, cw) after the download.  64 not
+    # 256: the PADDED canvas is what downloads (slice happens on host),
+    # so the quantum is also a d2h byte tax — 64 keeps it under ~10%
+    # while still colliding same-rig geometries onto one program.
+    quant = max(step, 64)
     canvas_w = -(-cw // quant) * quant
     canvas_h = -(-ch // quant) * quant
 
