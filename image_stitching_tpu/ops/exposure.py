@@ -429,11 +429,14 @@ def feed_device(corners, sizes, images_dev, masks_dev,
         grids.append(g)
         offs.append(b_tot)
         b_tot += g[0] * g[1]
-    # Next power of two: b_cap is a static dim of the stat programs;
-    # bucketing it lets different-geometry runs share compiled programs.
-    b_cap = 1
-    while b_cap < max(g[0] * g[1] for g in grids):
-        b_cap <<= 1
+    # Snap to a multiple of 32: b_cap is a static dim of the stat
+    # programs (compile sharing across near-identical geometries), but
+    # it also sizes the (t_pad, b_cap, b_cap) pair-stat tables that
+    # cross the ~30 MB/s tunnel — a pow2 snap (300 -> 512) was measured
+    # to ~3x the rig37 exposure download (43 -> 195 s).  Backlog: index
+    # pair tables by overlap-rect-local blocks, which shrinks them
+    # 10-100x (only border blocks of i ever overlap j).
+    b_cap = -(-max(g[0] * g[1] for g in grids) // 32) * 32
 
     params = np.asarray([(g[0], g[2], g[3], s[0], s[1])
                          for g, s in zip(grids, sizes)], np.int32)
