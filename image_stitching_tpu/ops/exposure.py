@@ -156,9 +156,14 @@ def _solve_gain_system(n_mat: np.ndarray, i_mat: np.ndarray) -> np.ndarray:
     try:
         import scipy.sparse as _sp
         from scipy.sparse.linalg import spsolve as _spsolve
-        return _spsolve(_sp.csc_matrix(a), b)
+        x = _spsolve(_sp.csc_matrix(a), b)
+        # A near-singular system makes spsolve WARN and return inf/NaN
+        # without raising — validate instead of trusting the except path.
+        if np.all(np.isfinite(x)):
+            return x
     except Exception:  # pragma: no cover - robustness fallback
-        return np.linalg.lstsq(a, b, rcond=None)[0]
+        pass
+    return np.linalg.lstsq(a, b, rcond=None)[0]
 
 
 def _filter_gain_map(gmap: np.ndarray, iters: int) -> np.ndarray:
@@ -310,11 +315,29 @@ def _fit_gains(comp_type, n, grids, offs, b_tot, n_mat, i_mat, nr_feeds,
 # uniform pipeline path they are already device-resident (the vmapped seam
 # warp's padded stacks) and the DP seam finder no longer downloads them
 # (ops/seams.py images_dev).  feed_device() computes the SAME N/I overlap
-# statistics on device — masked segment-sums keyed by block-pair — and
-# downloads only the few-KB stat tables, removing the warped-image
-# download from the default pipeline entirely.  Sums of u8-valued pixels
-# are exact in f32 (integers < 2^24); the GAIN intensity is an L2 norm,
-# f32-vs-f64 differences land ~1e-6 relative (parity-tested).
+# statistics on device and downloads only few-KB tables, removing the
+# warped-image download from the default pipeline entirely.
+#
+# TPU-first design: block binning is SEPARABLE — a pixel's block-row index
+# depends only on y and its block-col index only on x, for BOTH images of
+# a pair (they share the overlap rect's y/x).  So the (block_i, block_j)
+# pair statistics factor through a tiny staircase of distinct
+# (row-block_i, row-block_j) ranks along y (at most gh_i + gh_j - 1 of
+# them) and the same along x.  Each pair's stats then become two one-hot
+# MATMULS on the MXU:  Y^T @ fields @ X  with Y (rect_h, n_py) and
+# X (rect_w, n_px) — no scatter/segment_sum, and the downloaded table is
+# (n_py, n_px) instead of (blocks_i, blocks_j).  At the reference's
+# flagship rig37 geometry this shrinks the stat download from ~460 MB
+# (global-block tables at b_cap=352 over 309 pairs) to a few MB and turns
+# the device work into MXU-friendly batched matmuls.  The host maps ranks
+# back to global block indices (np.unique staircases, exact).
+#
+# Sums of u8-valued pixels are exact in f32 (integers < 2^24) with
+# Precision.HIGHEST matmuls; the GAIN intensity is an L2 norm, f32-vs-f64
+# differences land ~1e-6 relative (parity-tested).
+
+_PREC = jax.lax.Precision.HIGHEST  # exact-f32 one-hot binning matmuls
+
 
 def _intensity(img_f: "jnp.ndarray", nch_mode: str) -> "jnp.ndarray":
     if nch_mode == "norm":
@@ -322,44 +345,85 @@ def _intensity(img_f: "jnp.ndarray", nch_mode: str) -> "jnp.ndarray":
     return img_f
 
 
-@functools.partial(jax.jit, static_argnames=("b_cap", "nch_mode"))
-def _self_stats_dev(stack, masks, params, *, b_cap: int, nch_mode: str):
-    """Per-image own-block stats.  params: (N, 5) int32 (gw, bw, bh, w, h).
+def _snap8(x: int) -> int:
+    return -(-x // 8) * 8
 
-    Returns cnt (N, b_cap) and intensity sums (N, b_cap, nch) over each
-    image's masked real pixels, keyed by its block grid."""
+
+def _rank_cap(bucket_dim_: int, block_size: int, blocks: bool) -> int:
+    """Static bound (incl. one trash slot) on the number of distinct
+    (block_i, block_j) rank pairs along one axis of an overlap rect of at
+    most `bucket_dim_` pixels.  cv2's ceil-twice grid makes every block
+    dim > block_size/2, so each side's staircase has at most
+    bucket/(block/2+1) + 2 steps."""
+    if not blocks:
+        return 8  # one block per image: a single rank (+ trash)
+    bmin = block_size // 2 + 1
+    return _snap8(2 * (bucket_dim_ // bmin + 2))
+
+
+def _staircase(o_i: int, o_j: int, b_i: int, b_j: int, length: int):
+    """Dense ranks of the (block_i, block_j) index pairs along one axis.
+
+    o_*: overlap-rect offset in each image's local coords; b_*: block dim.
+    Returns (ranks (length,) int32, blk_i (n,), blk_j (n,)) where n is the
+    number of distinct pairs; both staircases are nondecreasing, so the
+    combined key is nondecreasing and np.unique order == appearance order.
+    """
+    t = np.arange(length, dtype=np.int64)
+    ri = (o_i + t) // b_i
+    rj = (o_j + t) // b_j
+    key = ri << 20 | rj
+    uniq, inv = np.unique(key, return_inverse=True)
+    return (inv.astype(np.int32), (uniq >> 20).astype(np.int32),
+            (uniq & ((1 << 20) - 1)).astype(np.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("gh_cap", "gw_cap",
+                                             "nch_mode"))
+def _self_stats_dev(stack, masks, params, *, gh_cap: int, gw_cap: int,
+                    nch_mode: str):
+    """Per-image own-block stats via separable one-hot matmuls.
+
+    params: (N, 5) int32 (gw, bw, bh, w, h).  Returns one packed table
+    (N, gh_cap, gw_cap, 1 + nch): [..., 0] masked pixel counts,
+    [..., 1:] intensity sums, laid out on each image's own block grid."""
     n, hp, wp = masks.shape
 
     def one(img, msk, prm):
-        gw, bw, bh, w, h = prm[0], prm[1], prm[2], prm[3], prm[4]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
-        m = (msk > 0) & (rows < h) & (cols < w)
-        key = jnp.clip((rows // bh) * gw + cols // bw, 0, b_cap - 1)
+        bw, bh, w, h = prm[1], prm[2], prm[3], prm[4]
+        ry = jnp.arange(hp) // bh
+        rx = jnp.arange(wp) // bw
+        ymat = ((ry[:, None] == jnp.arange(gh_cap)[None, :]) &
+                (jnp.arange(hp) < h)[:, None]).astype(jnp.float32)
+        xmat = ((rx[:, None] == jnp.arange(gw_cap)[None, :]) &
+                (jnp.arange(wp) < w)[:, None]).astype(jnp.float32)
+        m = (msk > 0).astype(jnp.float32)
         inten = _intensity(img.astype(jnp.float32), nch_mode)
-        mf = m.astype(jnp.float32)
-        cnt = jax.ops.segment_sum(mf.ravel(), key.ravel(),
-                                  num_segments=b_cap)
-        sums = jax.vmap(
-            lambda ch: jax.ops.segment_sum((mf * ch).ravel(), key.ravel(),
-                                           num_segments=b_cap),
-            in_axes=-1, out_axes=-1)(inten)
-        return cnt, sums
+        fields = jnp.concatenate([m[..., None], m[..., None] * inten], -1)
+        a = jnp.tensordot(ymat, fields, axes=((0,), (0,)),
+                          precision=_PREC)           # (gh_cap, wp, c)
+        t = jnp.tensordot(a, xmat, axes=((1,), (0,)),
+                          precision=_PREC)           # (gh_cap, c, gw_cap)
+        return jnp.transpose(t, (0, 2, 1))
 
     return jax.vmap(one)(stack, masks, params)
 
 
-@functools.partial(jax.jit, static_argnames=("b_cap", "nch_mode", "bh_b",
-                                             "bw_b"))
-def _pair_stats_dev(stack, masks, params, idx_i, idx_j, off_i, off_j,
-                    rect_hw, *, b_cap: int, nch_mode: str, bh_b: int,
-                    bw_b: int):
-    """Bucketed pair-overlap stats, gathered on device.
+@functools.partial(jax.jit, static_argnames=("nch_mode", "bh_b", "bw_b",
+                                             "py_cap", "px_cap"))
+def _pair_stats_dev(stack, masks, idx_i, idx_j, off_i, off_j, rect_hw,
+                    py_keys, px_keys, *, nch_mode: str, bh_b: int,
+                    bw_b: int, py_cap: int, px_cap: int):
+    """Bucketed pair-overlap stats: crop gather + one-hot binning matmuls.
 
     idx_*: (T,) image indices; off_*: (T, 2) overlap-rect offsets in each
     image's local coords; rect_hw: (T, 2) real rect dims inside the
-    (bh_b, bw_b) bucket.  Returns cnt (T, b_cap^2) and per-side intensity
-    sums (T, b_cap^2, nch) keyed by block_i * b_cap + block_j."""
+    (bh_b, bw_b) bucket; py_keys (T, bh_b) / px_keys (T, bw_b): host-built
+    staircase ranks of the (block_i, block_j) pairs along each axis
+    (out-of-rect entries may hold any value — they are masked).  Returns
+    one packed table (T, py_cap, px_cap, 1 + 2*nch): [..., 0] overlap
+    pixel counts, [..., 1:1+nch] side-i intensity sums, the rest side-j.
+    """
     n, hp, wp = masks.shape
 
     def gather(img_idx, off):
@@ -367,34 +431,31 @@ def _pair_stats_dev(stack, masks, params, idx_i, idx_j, off_i, off_j,
         cols = jnp.clip(off[1] + jnp.arange(bw_b), 0, wp - 1)
         sub_img = stack[img_idx][rows[:, None], cols[None, :], :]
         sub_msk = masks[img_idx][rows[:, None], cols[None, :]]
-        prm = params[img_idx]
-        ly = off[0] + jnp.arange(bh_b)
-        lx = off[1] + jnp.arange(bw_b)
-        key = jnp.clip((ly[:, None] // prm[2]) * prm[0] +
-                       lx[None, :] // prm[1], 0, b_cap - 1)
-        return sub_img, sub_msk, key
+        return sub_img, sub_msk
 
-    def one(ii, jj, oi, oj, hw):
-        img_i, msk_i, key_i = gather(ii, oi)
-        img_j, msk_j, key_j = gather(jj, oj)
+    def one(ii, jj, oi, oj, hw, pyk, pxk):
+        img_i, msk_i = gather(ii, oi)
+        img_j, msk_j = gather(jj, oj)
         rr = jax.lax.broadcasted_iota(jnp.int32, (bh_b, bw_b), 0) < hw[0]
         cc = jax.lax.broadcasted_iota(jnp.int32, (bh_b, bw_b), 1) < hw[1]
         both = (msk_i > 0) & (msk_j > 0) & rr & cc
-        bf = both.astype(jnp.float32)
-        key = (key_i * b_cap + key_j).ravel()
-        cnt = jax.ops.segment_sum(bf.ravel(), key,
-                                  num_segments=b_cap * b_cap)
+        bf = both.astype(jnp.float32)[..., None]
+        inten_i = _intensity(img_i.astype(jnp.float32), nch_mode)
+        inten_j = _intensity(img_j.astype(jnp.float32), nch_mode)
+        fields = jnp.concatenate(
+            [bf, bf * inten_i, bf * inten_j], -1)     # (bh_b, bw_b, 1+2nch)
+        ymat = (pyk[:, None] == jnp.arange(py_cap)[None, :]).astype(
+            jnp.float32)                              # (bh_b, py_cap)
+        xmat = (pxk[:, None] == jnp.arange(px_cap)[None, :]).astype(
+            jnp.float32)                              # (bw_b, px_cap)
+        a = jnp.tensordot(ymat, fields, axes=((0,), (0,)),
+                          precision=_PREC)            # (py_cap, bw_b, c)
+        t = jnp.tensordot(a, xmat, axes=((1,), (0,)),
+                          precision=_PREC)            # (py_cap, c, px_cap)
+        return jnp.transpose(t, (0, 2, 1))
 
-        def sums_of(img):
-            inten = _intensity(img.astype(jnp.float32), nch_mode)
-            return jax.vmap(
-                lambda ch: jax.ops.segment_sum((bf * ch).ravel(), key,
-                                               num_segments=b_cap * b_cap),
-                in_axes=-1, out_axes=-1)(inten)
-
-        return cnt, sums_of(img_i), sums_of(img_j)
-
-    return jax.vmap(one)(idx_i, idx_j, off_i, off_j, rect_hw)
+    return jax.vmap(one)(idx_i, idx_j, off_i, off_j, rect_hw, py_keys,
+                         px_keys)
 
 
 def feed_device(corners, sizes, images_dev, masks_dev,
@@ -429,22 +490,25 @@ def feed_device(corners, sizes, images_dev, masks_dev,
         grids.append(g)
         offs.append(b_tot)
         b_tot += g[0] * g[1]
-    # Snap to a multiple of 32: b_cap is a static dim of the stat
-    # programs (compile sharing across near-identical geometries), but
-    # it also sizes the (t_pad, b_cap, b_cap) pair-stat tables that
-    # cross the ~30 MB/s tunnel — a pow2 snap (300 -> 512) was measured
-    # to ~3x the rig37 exposure download (43 -> 195 s).  Backlog: index
-    # pair tables by overlap-rect-local blocks, which shrinks them
-    # 10-100x (only border blocks of i ever overlap j).
-    b_cap = -(-max(g[0] * g[1] for g in grids) // 32) * 32
 
     params = np.asarray([(g[0], g[2], g[3], s[0], s[1])
                          for g, s in zip(grids, sizes)], np.int32)
     params_d = jnp.asarray(params)
 
+    # Static self-table caps derive from the padded stack dims (compile
+    # sharing across same-rig captures whose exact ROIs differ).
+    hp, wp = int(masks_dev.shape[1]), int(masks_dev.shape[2])
+    if blocks:
+        bmin = block_size // 2 + 1
+        gh_cap = _snap8(hp // bmin + 2)
+        gw_cap = _snap8(wp // bmin + 2)
+    else:
+        gh_cap = gw_cap = 8
+
     # Queue every upload/dispatch, download ALL stats in one transfer.
     self_pend = _self_stats_dev(images_dev, masks_dev, params_d,
-                                b_cap=b_cap, nch_mode=nch_mode)
+                                gh_cap=gh_cap, gw_cap=gw_cap,
+                                nch_mode=nch_mode)
     pair_meta = []
     buckets = {}
     for i in range(n):
@@ -463,25 +527,38 @@ def feed_device(corners, sizes, images_dev, masks_dev,
         t_pad = 1
         while t_pad < len(items):
             t_pad <<= 1
+        py_cap = _rank_cap(bh_b, block_size, blocks)
+        px_cap = _rank_cap(bw_b, block_size, blocks)
         idx_i = np.zeros((t_pad,), np.int32)
         idx_j = np.zeros((t_pad,), np.int32)
         of_i = np.zeros((t_pad, 2), np.int32)
         of_j = np.zeros((t_pad, 2), np.int32)
         hw = np.ones((t_pad, 2), np.int32)
+        pyk = np.zeros((t_pad, bh_b), np.int32)
+        pxk = np.zeros((t_pad, bw_b), np.int32)
+        ranks = []
         for slot, (i, j, oyi, oxi, oyj, oxj, h, w) in enumerate(items):
             idx_i[slot], idx_j[slot] = i, j
             of_i[slot] = (oyi, oxi)
             of_j[slot] = (oyj, oxj)
             hw[slot] = (h, w)
+            ry, ryi_u, ryj_u = _staircase(oyi, oyj, grids[i][3],
+                                          grids[j][3], h)
+            rx, rxi_u, rxj_u = _staircase(oxi, oxj, grids[i][2],
+                                          grids[j][2], w)
+            assert len(ryi_u) < py_cap and len(rxi_u) < px_cap
+            pyk[slot, :h] = ry
+            pxk[slot, :w] = rx
+            ranks.append((ryi_u, ryj_u, rxi_u, rxj_u))
         pair_pend.append(_pair_stats_dev(
-            images_dev, masks_dev, params_d, jnp.asarray(idx_i),
+            images_dev, masks_dev, jnp.asarray(idx_i),
             jnp.asarray(idx_j), jnp.asarray(of_i), jnp.asarray(of_j),
-            jnp.asarray(hw), b_cap=b_cap, nch_mode=nch_mode, bh_b=bh_b,
-            bw_b=bw_b))
-        pair_meta.append(items)
+            jnp.asarray(hw), jnp.asarray(pyk), jnp.asarray(pxk),
+            nch_mode=nch_mode, bh_b=bh_b, bw_b=bw_b, py_cap=py_cap,
+            px_cap=px_cap))
+        pair_meta.append((items, ranks))
 
-    (self_cnt, self_sum), pair_stats = fetch_tree(
-        (self_pend, pair_pend))
+    self_tbl, pair_stats = fetch_tree((self_pend, pair_pend))
 
     # Assemble the global system exactly like the host feed (shared
     # _assemble_pair helper carries the rect-intersection N floor).
@@ -492,21 +569,30 @@ def feed_device(corners, sizes, images_dev, masks_dev,
         gw, gh, _, _ = grids[i]
         bi = gw * gh
         ai = offs[i] + np.arange(bi)
-        cnt = self_cnt[i][:bi].astype(np.float64)
+        tbl = self_tbl[i][:gh, :gw].astype(np.float64)
+        cnt = tbl[..., 0].ravel()
         n_mat[ai, ai] = np.maximum(cnt, 1.0)
-        i_mat[ai, ai, :] = (self_sum[i][:bi].astype(np.float64) /
+        i_mat[ai, ai, :] = (tbl[..., 1:].reshape(bi, nch) /
                             np.maximum(cnt, 1.0)[:, None])
 
-    for items, (cnt_t, si_t, sj_t) in zip(pair_meta, pair_stats):
+    for (items, ranks), tbl_t in zip(pair_meta, pair_stats):
         for slot, (i, j, *_rest) in enumerate(items):
             bi = grids[i][0] * grids[i][1]
             bj = grids[j][0] * grids[j][1]
-            cnt = cnt_t[slot].astype(np.float64).reshape(
-                b_cap, b_cap)[:bi, :bj]
-            si = si_t[slot].astype(np.float64).reshape(
-                b_cap, b_cap, nch)[:bi, :bj]
-            sj = sj_t[slot].astype(np.float64).reshape(
-                b_cap, b_cap, nch)[:bi, :bj]
+            ryi_u, ryj_u, rxi_u, rxj_u = ranks[slot]
+            n_py, n_px = len(ryi_u), len(rxi_u)
+            tbl = tbl_t[slot][:n_py, :n_px].astype(np.float64)
+            # Rank pair (p, q) identifies exactly one (block_i, block_j)
+            # pair; scatter the tiny rank table onto the dense per-pair
+            # block tables the shared assembler expects.
+            bi_g = ryi_u[:, None] * grids[i][0] + rxi_u[None, :]
+            bj_g = ryj_u[:, None] * grids[j][0] + rxj_u[None, :]
+            cnt = np.zeros((bi, bj))
+            si = np.zeros((bi, bj, nch))
+            sj = np.zeros((bi, bj, nch))
+            cnt[bi_g, bj_g] = tbl[..., 0]
+            si[bi_g, bj_g, :] = tbl[..., 1:1 + nch]
+            sj[bi_g, bj_g, :] = tbl[..., 1 + nch:]
             _assemble_pair(n_mat, i_mat, grids, sizes, corners, offs,
                            i, j, cnt, si, sj)
 
