@@ -143,16 +143,21 @@ def _bench_e2e():
         t0 = time.perf_counter()
         results[seed] = stitch(dirs[seed], cfg, output="")
         elapsed[seed] = time.perf_counter() - t0
-    best = min(elapsed, key=elapsed.get)
+    # Per-run throughput (each run's own kept count over its own elapsed
+    # — kept indices can differ across seeds); headline = best of 3,
+    # value_p50 = median of the per-run throughputs.  Best-of-3 vs the
+    # single-number NORTH_STAR is deliberate: the tunnel rate varies ~2x
+    # between windows and the best run is the least tunnel-biased.
+    thr = {s: len(results[s].kept_indices) * h * w / 1e6 / elapsed[s]
+           for s in elapsed}
+    best = max(thr, key=thr.get)
     res = results[best]
-    med_elapsed = float(np.median(list(elapsed.values())))
 
     gt = np.load(os.path.join(dirs[best], "gt.npz"))
     reproj = _reproj_err_px(res.cameras, res.kept_indices,
                             gt["k"], gt["rs"], (h, w),
                             work_scale=res.work_scale)
-    mp = len(res.kept_indices) * h * w / 1e6
-    value = mp / elapsed[best]
+    value = thr[best]
     print(f"# runs: " + ", ".join(f"s{s}={t:.2f}s"
                                   for s, t in elapsed.items()),
           file=sys.stderr)
@@ -171,9 +176,9 @@ def _bench_e2e():
         "unit": "MP/s/chip",
         "vs_baseline": round(value / NORTH_STAR, 3),
         "reproj_err_px": round(reproj, 3),
-        # Median-of-3 throughput: distinguishes best-window from typical
-        # (tunnel rate varies ~2x between windows, NOTES_r02).
-        "value_p50": round(mp / med_elapsed, 3),
+        # Median of per-run throughputs: distinguishes best-window from
+        # typical (tunnel rate varies ~2x between windows, NOTES_r02).
+        "value_p50": round(float(np.median(list(thr.values()))), 3),
     }
 
 
@@ -262,15 +267,17 @@ def _bench_cyl4():
         t0 = time.perf_counter()
         results[seed] = stitch(dirs[seed], cfg, output="")
         elapsed[seed] = time.perf_counter() - t0
-    best = min(elapsed, key=elapsed.get)
+    # Per-run throughputs (kept counts can differ across seeds); headline
+    # = best of 3, value_p50 = median of the per-run throughputs.
+    thr = {s: len(results[s].kept_indices) * 1080 * 1920 / 1e6 / elapsed[s]
+           for s in elapsed}
+    best = max(thr, key=thr.get)
     res = results[best]
     gt = np.load(os.path.join(dirs[best], "gt.npz"))
     reproj = _reproj_err_px(res.cameras, res.kept_indices,
                             gt["k"], gt["rs"], (1080, 1920),
                             work_scale=res.work_scale)
-    mp = len(res.kept_indices) * 1080 * 1920 / 1e6
-    value = mp / elapsed[best]
-    med = float(np.median(list(elapsed.values())))
+    value = thr[best]
     print(f"# cyl4 runs: " + ", ".join(f"s{s}={t:.2f}s"
                                        for s, t in elapsed.items()),
           file=sys.stderr)
@@ -283,7 +290,7 @@ def _bench_cyl4():
         "unit": "MP/s/chip",
         "vs_baseline": round(value / NORTH_STAR, 3),
         "reproj_err_px": round(reproj, 3),
-        "value_p50": round(mp / med, 3),
+        "value_p50": round(float(np.median(list(thr.values()))), 3),
     }
 
 
@@ -320,10 +327,14 @@ def _bench_rig37():
     # Rig fov is 68 deg (data/synth.make_rig_captures): pairs within
     # ~0.65 fov share real overlap; index adjacency would cross ring
     # boundaries where views share nothing.
-    ov_pairs = _overlapping_pairs(res.kept_indices, gt["rs"], 45.0)
+    # Heavy dropping can leave no <=45-deg pairs; fall back to index
+    # adjacency rather than emit NaN (invalid JSON for the consumer).
+    ov_pairs = _overlapping_pairs(res.kept_indices, gt["rs"], 45.0) or None
     reproj = _reproj_err_px(res.cameras, res.kept_indices,
                             gt["k"], gt["rs"], (h, w),
                             work_scale=res.work_scale, pairs=ov_pairs)
+    if not np.isfinite(reproj):
+        reproj = -1.0  # sentinel: no evaluable pair survived
     mp = len(res.kept_indices) * h * w / 1e6
     value = mp / elapsed
     print(f"# rig37: kept {len(res.kept_indices)}/37, {elapsed:.2f}s, "

@@ -40,11 +40,19 @@ def _try_autobuild() -> None:
     if not os.path.exists(os.path.join(src_dir, "Makefile")):
         return
     import subprocess
+    import sys
     try:
         subprocess.run(["make", "-C", src_dir], check=True,
                        capture_output=True, timeout=300)
-    except Exception:
-        pass
+    except Exception as e:  # attributable fallback, not a silent one
+        detail = ""
+        if isinstance(e, subprocess.CalledProcessError) and e.stderr:
+            detail = ": " + e.stderr.decode(errors="replace").strip(
+                ).splitlines()[-1][:200]
+        print(f"image_stitching_tpu: native runtime autobuild failed "
+              f"({type(e).__name__}{detail}); using pure-Python host "
+              f"fallbacks (~3x slower ingest). Build with `make -C "
+              f"{src_dir}`.", file=sys.stderr)
 
 
 lib = None

@@ -52,6 +52,7 @@ import numpy as np
 
 from ..config import ExposureCompensatorType as ECType
 from .imgproc import resize
+from .seams import periodic_corner
 
 __all__ = ["ExposureCompensator", "feed", "feed_device", "apply_gain"]
 
@@ -90,20 +91,22 @@ def _overlap_rect(c1, s1, c2, s2):
     return x, y, x2 - x, y2 - y
 
 
-def _block_rects(grids, sizes, corners, i):
-    """Global-coord rects of image i's blocks (shared by feed paths)."""
+def _block_rects(grids, sizes, corner, i):
+    """Global-coord rects of image i's blocks (shared by feed paths).
+    `corner` is the image's EFFECTIVE corner for the current pair — the
+    period-shifted alias for cross-dateline pairs (seams.periodic_corner)."""
     gw, gh, bw, bh = grids[i]
     w, h = sizes[i]
     bx = np.arange(gw) * bw
     by = np.arange(gh) * bh
-    x0 = (corners[i][0] + bx)[None, :].repeat(gh, 0).ravel()
-    y0 = (corners[i][1] + by)[:, None].repeat(gw, 1).ravel()
-    x1 = np.minimum(x0 + bw, corners[i][0] + w)
-    y1 = np.minimum(y0 + bh, corners[i][1] + h)
+    x0 = (corner[0] + bx)[None, :].repeat(gh, 0).ravel()
+    y0 = (corner[1] + by)[:, None].repeat(gw, 1).ravel()
+    x1 = np.minimum(x0 + bw, corner[0] + w)
+    y1 = np.minimum(y0 + bh, corner[1] + h)
     return x0, y0, x1, y1
 
 
-def _assemble_pair(n_mat, i_mat, grids, sizes, corners, offs, i, j, cnt,
+def _assemble_pair(n_mat, i_mat, grids, sizes, ci, cj, offs, i, j, cnt,
                    si, sj):
     """Write one pair's (cnt, per-side intensity-sum) stats into the
     global system with OpenCV's max(1, countNonZero) rect floor —
@@ -111,8 +114,8 @@ def _assemble_pair(n_mat, i_mat, grids, sizes, corners, offs, i, j, cnt,
     gwi, ghi, _, _ = grids[i]
     gwj, ghj, _, _ = grids[j]
     bi, bj = gwi * ghi, gwj * ghj
-    xi0, yi0, xi1, yi1 = _block_rects(grids, sizes, corners, i)
-    xj0, yj0, xj1, yj1 = _block_rects(grids, sizes, corners, j)
+    xi0, yi0, xi1, yi1 = _block_rects(grids, sizes, ci, i)
+    xj0, yj0, xj1, yj1 = _block_rects(grids, sizes, cj, j)
     rect_int = ((np.minimum(xi1[:, None], xj1[None, :]) >
                  np.maximum(xi0[:, None], xj0[None, :])) &
                 (np.minimum(yi1[:, None], yj1[None, :]) >
@@ -189,8 +192,12 @@ def _filter_gain_map(gmap: np.ndarray, iters: int) -> np.ndarray:
 
 def feed(corners, images_warped, masks_warped,
          comp_type: ECType = ECType.GAIN_BLOCKS, nr_feeds: int = 1,
-         nr_filtering: int = 2, block_size: int = 64) -> ExposureCompensator:
-    """Fit the compensator (compensator->feed at `:1023`)."""
+         nr_filtering: int = 2, block_size: int = 64,
+         period=None) -> ExposureCompensator:
+    """Fit the compensator (compensator->feed at `:1023`).
+
+    period: warped u-axis period (2*pi*scale) for periodic projections —
+    couples cross-dateline pairs via seams.periodic_corner."""
     if isinstance(comp_type, str):
         comp_type = ECType(comp_type.lower())
     n = len(images_warped)
@@ -245,14 +252,15 @@ def feed(corners, images_warped, masks_warped,
             i_mat[ai, ai, c] = s / np.maximum(cnt, 1.0)
 
         for j in range(i + 1, n):
-            x, y, w, h = _overlap_rect(corners[i], sizes[i],
-                                       corners[j], sizes[j])
+            cj = periodic_corner(corners[i], sizes[i], corners[j],
+                                 sizes[j], period)
+            x, y, w, h = _overlap_rect(corners[i], sizes[i], cj, sizes[j])
             if w <= 0 or h <= 0:
                 continue
             gwj, ghj, _, _ = grids[j]
             bj = gwj * ghj
             oxi, oyi = x - corners[i][0], y - corners[i][1]
-            oxj, oyj = x - corners[j][0], y - corners[j][1]
+            oxj, oyj = x - cj[0], y - cj[1]
             both = (msks[i][oyi:oyi + h, oxi:oxi + w] &
                     msks[j][oyj:oyj + h, oxj:oxj + w])
             bmap_i = block_index_map(i, oxi, oyi, w, h)
@@ -268,8 +276,8 @@ def feed(corners, images_warped, masks_warped,
             sj = np.stack([np.bincount(key, weights=ij[..., c][both],
                                        minlength=bi * bj).reshape(bi, bj)
                            for c in range(nch)], -1)
-            _assemble_pair(n_mat, i_mat, grids, sizes, corners, offs,
-                           i, j, cnt, si, sj)
+            _assemble_pair(n_mat, i_mat, grids, sizes, corners[i], cj,
+                           offs, i, j, cnt, si, sj)
 
     return _fit_gains(comp_type, n, grids, offs, b_tot, n_mat, i_mat,
                       nr_feeds, nr_filtering, per_channel, blocks)
@@ -460,8 +468,8 @@ def _pair_stats_dev(stack, masks, idx_i, idx_j, off_i, off_j, rect_hw,
 
 def feed_device(corners, sizes, images_dev, masks_dev,
                 comp_type: ECType = ECType.GAIN_BLOCKS, nr_feeds: int = 1,
-                nr_filtering: int = 2,
-                block_size: int = 64) -> ExposureCompensator:
+                nr_filtering: int = 2, block_size: int = 64,
+                period=None) -> ExposureCompensator:
     """feed() with the N/I statistics computed on device.
 
     images_dev/masks_dev: the pipeline's padded warped stacks (N, Hp, Wp,
@@ -513,15 +521,16 @@ def feed_device(corners, sizes, images_dev, masks_dev,
     buckets = {}
     for i in range(n):
         for j in range(i + 1, n):
-            x, y, w, h = _overlap_rect(corners[i], sizes[i], corners[j],
-                                       sizes[j])
+            cj = periodic_corner(corners[i], sizes[i], corners[j],
+                                 sizes[j], period)
+            x, y, w, h = _overlap_rect(corners[i], sizes[i], cj, sizes[j])
             if w <= 0 or h <= 0:
                 continue
             buckets.setdefault((_bucket_dim(h), _bucket_dim(w)),
                                []).append((i, j, y - corners[i][1],
                                            x - corners[i][0],
-                                           y - corners[j][1],
-                                           x - corners[j][0], h, w))
+                                           y - cj[1],
+                                           x - cj[0], h, w, cj))
     pair_pend = []
     for (bh_b, bw_b), items in buckets.items():
         t_pad = 1
@@ -537,7 +546,7 @@ def feed_device(corners, sizes, images_dev, masks_dev,
         pyk = np.zeros((t_pad, bh_b), np.int32)
         pxk = np.zeros((t_pad, bw_b), np.int32)
         ranks = []
-        for slot, (i, j, oyi, oxi, oyj, oxj, h, w) in enumerate(items):
+        for slot, (i, j, oyi, oxi, oyj, oxj, h, w, _cj) in enumerate(items):
             idx_i[slot], idx_j[slot] = i, j
             of_i[slot] = (oyi, oxi)
             of_j[slot] = (oyj, oxj)
@@ -577,6 +586,7 @@ def feed_device(corners, sizes, images_dev, masks_dev,
 
     for (items, ranks), tbl_t in zip(pair_meta, pair_stats):
         for slot, (i, j, *_rest) in enumerate(items):
+            cj = _rest[-1]
             bi = grids[i][0] * grids[i][1]
             bj = grids[j][0] * grids[j][1]
             ryi_u, ryj_u, rxi_u, rxj_u = ranks[slot]
@@ -593,8 +603,8 @@ def feed_device(corners, sizes, images_dev, masks_dev,
             cnt[bi_g, bj_g] = tbl[..., 0]
             si[bi_g, bj_g, :] = tbl[..., 1:1 + nch]
             sj[bi_g, bj_g, :] = tbl[..., 1 + nch:]
-            _assemble_pair(n_mat, i_mat, grids, sizes, corners, offs,
-                           i, j, cnt, si, sj)
+            _assemble_pair(n_mat, i_mat, grids, sizes, corners[i], cj,
+                           offs, i, j, cnt, si, sj)
 
     return _fit_gains(comp_type, n, grids, offs, b_tot, n_mat, i_mat,
                       nr_feeds, nr_filtering, per_channel, blocks)

@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["find_seams", "edt_sq", "bucket_dim"]
+__all__ = ["find_seams", "edt_sq", "bucket_dim", "periodic_corner"]
 
 
 # ---------------------------------------------------------------- helpers --
@@ -50,6 +50,34 @@ def _overlap_box(c1, s1, c2, s2) -> Tuple[int, int, int, int]:
     x2 = min(c1[0] + s1[0], c2[0] + s2[0])
     y2 = min(c1[1] + s1[1], c2[1] + s2[1])
     return (x, y, max(0, x2 - x), max(0, y2 - y))
+
+
+def periodic_corner(c1, s1, c2, s2, period):
+    """Effective corner of roi 2 for pairing against roi 1 when the warped
+    u axis is periodic (spherical/cylindrical/mercator).
+
+    The date-line rebranch in ops/warps.py::detect_result_roi re-centers a
+    view straddling azimuth +-pi on its own azimuth, so a cross-dateline
+    pair's rects can sit a full u-period apart while genuinely overlapping
+    on the sphere — axis-aligned rect intersection would then silently
+    drop the pair from seam/exposure coupling (duplicated strip + gain
+    discontinuity at the wrap).  Returns c2 shifted by the period multiple
+    that maximizes overlap with rect 1; every backward map is periodic in
+    u, so all downstream local-coordinate math is unchanged."""
+    if not period:
+        return c2
+
+    def area(c2s):
+        b = _overlap_box(c1, s1, c2s, s2)
+        return b[2] * b[3]
+
+    best, best_a = c2, area(c2)
+    for sh in (-period, period):
+        c2s = (c2[0] + sh, c2[1])
+        a = area(c2s)
+        if a > best_a:
+            best, best_a = c2s, a
+    return best
 
 
 def _crop(arr: np.ndarray, corner, box):
@@ -402,7 +430,7 @@ def _run_dp_tasks(tasks, grad: bool, images_dev=None):
 
 
 def _find_seams_dp(images, corners, masks, sizes, grad: bool,
-                   images_dev=None):
+                   images_dev=None, period=None):
     """DpSeamFinder parity core: label each pair-overlap's connected
     components, seam every component separately with source/sink sides
     from the exclusive-region centroids, apply partitions sequentially
@@ -414,18 +442,20 @@ def _find_seams_dp(images, corners, masks, sizes, grad: bool,
     tasks = []
     for i in range(n):
         for j in range(i + 1, n):
-            box = _overlap_box(corners[i], sizes[i], corners[j], sizes[j])
+            cj = periodic_corner(corners[i], sizes[i], corners[j],
+                                 sizes[j], period)
+            box = _overlap_box(corners[i], sizes[i], cj, sizes[j])
             if box[2] <= 0 or box[3] <= 0:
                 continue
             m1 = _crop(masks0[i], corners[i], box) > 0
-            m2 = _crop(masks0[j], corners[j], box) > 0
+            m2 = _crop(masks0[j], cj, box) > 0
             ov = m1 & m2
             if not ov.any():
                 continue
             if images_dev is None:
                 im1 = _crop(np.asarray(images[i], np.float32), corners[i],
                             box)
-                im2 = _crop(np.asarray(images[j], np.float32), corners[j],
+                im2 = _crop(np.asarray(images[j], np.float32), cj,
                             box)
             excl1 = m1 & ~m2
             excl2 = m2 & ~m1
@@ -453,8 +483,8 @@ def _find_seams_dp(images, corners, masks, sizes, grad: bool,
                     return fallback
                 fb1 = (corners[i][0] + sizes[i][0] * 0.5 - box[0],
                        corners[i][1] + sizes[i][1] * 0.5 - box[1])
-                fb2 = (corners[j][0] + sizes[j][0] * 0.5 - box[0],
-                       corners[j][1] + sizes[j][1] * 0.5 - box[1])
+                fb2 = (cj[0] + sizes[j][0] * 0.5 - box[0],
+                       cj[1] + sizes[j][1] * 0.5 - box[1])
                 cx1, cy1 = _centroid(excl1, fb1)
                 cx2, cy2 = _centroid(excl2, fb2)
                 horiz = abs(cx1 - cx2) * bh >= abs(cy1 - cy2) * bw
@@ -475,11 +505,11 @@ def _find_seams_dp(images, corners, masks, sizes, grad: bool,
                 # — the device-sourced bucket gathers rects by these.
                 off_i = (box[1] - corners[i][1] + y0,
                          box[0] - corners[i][0] + x0)
-                off_j = (box[1] - corners[j][1] + y0,
-                         box[0] - corners[j][0] + x0)
+                off_j = (box[1] - cj[1] + y0,
+                         box[0] - cj[0] + x0)
                 tasks.append(dict(i=i, j=j, box=box, sl=sl, comp=comp,
                                   horiz=horiz, prefer1=prefer1,
-                                  c1=c1, c2=c2, vc=vc,
+                                  c1=c1, c2=c2, vc=vc, cj=cj,
                                   off_i=off_i, off_j=off_j))
 
     keep1_all = _run_dp_tasks(tasks, grad, images_dev)
@@ -494,8 +524,8 @@ def _find_seams_dp(images, corners, masks, sizes, grad: bool,
             t["comp"]
         oyi = y - corners[i][1] + sl[0].start
         oxi = x - corners[i][0] + sl[1].start
-        oyj = y - corners[j][1] + sl[0].start
-        oxj = x - corners[j][0] + sl[1].start
+        oyj = y - t["cj"][1] + sl[0].start
+        oxj = x - t["cj"][0] + sl[1].start
         ch, cw = comp.shape
         sub_i = masks[i][oyi:oyi + ch, oxi:oxi + cw]
         sub_j = masks[j][oyj:oyj + ch, oxj:oxj + cw]
@@ -509,7 +539,7 @@ def _find_seams_dp(images, corners, masks, sizes, grad: bool,
 def find_seams(images: Sequence[np.ndarray], corners: Sequence[Tuple[int, int]],
                masks: Sequence[np.ndarray],
                seam_type: str = "dp_color",
-               images_dev=None) -> List[np.ndarray]:
+               images_dev=None, period=None) -> List[np.ndarray]:
     """seam_finder->find(images_f, corners, masks) (`:1065`): returns the
     updated masks.  seam_type in {no, voronoi, dp_color, dp_colorgrad,
     gc_color, gc_colorgrad}; unknown types raise (parity `:1059-1063`).
@@ -517,7 +547,10 @@ def find_seams(images: Sequence[np.ndarray], corners: Sequence[Tuple[int, int]],
     images_dev: optional device-resident padded warped stack (N, Hp, Wp,
     3), each image's rect anchored at the origin and content identical to
     `images` — lets the DP bucket programs gather crop content on device
-    instead of re-uploading it through the tunnel."""
+    instead of re-uploading it through the tunnel.
+
+    period: the warped u-axis period in pixels (2*pi*scale) for periodic
+    projections, enabling cross-dateline pair coupling (periodic_corner)."""
     known = {"no", "voronoi", "dp_color", "dp_colorgrad", "gc_color",
              "gc_colorgrad"}
     if seam_type not in known:
@@ -541,7 +574,7 @@ def find_seams(images: Sequence[np.ndarray], corners: Sequence[Tuple[int, int]],
 
     if seam_type.startswith("dp"):
         return _find_seams_dp(images, corners, masks, sizes, grad,
-                              images_dev=images_dev)
+                              images_dev=images_dev, period=period)
 
     # Graph cut: the per-pair color cost depends only on the IMAGES (not
     # the evolving masks), so prefetch every overlapping pair's cost in
@@ -553,8 +586,9 @@ def find_seams(images: Sequence[np.ndarray], corners: Sequence[Tuple[int, int]],
         pend = []
         for i in range(n):
             for j in range(i + 1, n):
-                box = _overlap_box(corners[i], sizes[i], corners[j],
-                                   sizes[j])
+                cj = periodic_corner(corners[i], sizes[i], corners[j],
+                                     sizes[j], period)
+                box = _overlap_box(corners[i], sizes[i], cj, sizes[j])
                 if box[2] <= 0 or box[3] <= 0:
                     continue
                 # Masks only ever shrink in the sequential loop below, so
@@ -562,12 +596,12 @@ def find_seams(images: Sequence[np.ndarray], corners: Sequence[Tuple[int, int]],
                 # skips the upload/compile for rect-intersecting pairs
                 # whose warped masks never meet.
                 m1 = _crop(masks[i], corners[i], box) > 0
-                m2 = _crop(masks[j], corners[j], box) > 0
+                m2 = _crop(masks[j], cj, box) > 0
                 if not (m1 & m2).any():
                     continue
                 im1 = _crop(np.asarray(images[i], np.float32), corners[i],
                             box)
-                im2 = _crop(np.asarray(images[j], np.float32), corners[j],
+                im2 = _crop(np.asarray(images[j], np.float32), cj,
                             box)
                 if _f16_exact(im1) and _f16_exact(im2):
                     im1 = im1.astype(np.float16)
@@ -579,11 +613,13 @@ def find_seams(images: Sequence[np.ndarray], corners: Sequence[Tuple[int, int]],
 
     for i in range(n):
         for j in range(i + 1, n):
-            box = _overlap_box(corners[i], sizes[i], corners[j], sizes[j])
+            cj = periodic_corner(corners[i], sizes[i], corners[j],
+                                 sizes[j], period)
+            box = _overlap_box(corners[i], sizes[i], cj, sizes[j])
             if box[2] <= 0 or box[3] <= 0:
                 continue
             m1 = _crop(masks[i], corners[i], box) > 0
-            m2 = _crop(masks[j], corners[j], box) > 0
+            m2 = _crop(masks[j], cj, box) > 0
             ov = m1 & m2
             if not ov.any():
                 continue
@@ -599,7 +635,7 @@ def find_seams(images: Sequence[np.ndarray], corners: Sequence[Tuple[int, int]],
             # Partition the overlap.
             x, y, w, h = box
             oxi, oyi = x - corners[i][0], y - corners[i][1]
-            oxj, oyj = x - corners[j][0], y - corners[j][1]
+            oxj, oyj = x - cj[0], y - cj[1]
             sub_i = masks[i][oyi:oyi + h, oxi:oxi + w]
             sub_j = masks[j][oyj:oyj + h, oxj:oxj + w]
             sub_i[ov & ~keep1] = 0

@@ -554,6 +554,17 @@ class Warper:
         return _backward_xy(proj_bwd, uu, vv, k, r, self.scale)
 
 
+def u_period(proj_name: str, scale: float):
+    """Warped u-axis period in pixels (rounded) for the projections whose
+    u is linear in longitude — the set the date-line rebranch in
+    detect_result_roi applies to.  None for aperiodic projections.  The
+    <=0.5 px rounding only offsets cross-dateline PAIRING rects
+    (seams.periodic_corner); per-image warps are unaffected."""
+    if proj_name in ("spherical", "cylindrical", "mercator"):
+        return int(round(2.0 * math.pi * scale))
+    return None
+
+
 def make_warper(warp_type: str, scale: float) -> Warper:
     """Factory with the reference's name set (`image_stitching.cpp:933-964`);
     unknown names raise like the `!warper_creator` check at `:967-971`."""

@@ -547,6 +547,10 @@ def _stitch_body(source, cfg: StitchConfig,
                 masks_warped.append(np.asarray(mask_w).astype(np.uint8))
 
     # ---- exposure compensation (:997-1025) ----
+    # Cross-dateline pairs in full-360 rings sit a u-period apart after
+    # the ROI rebranch; the period re-couples them for exposure/seams.
+    from ..ops.warps import u_period
+    seam_u_period = u_period(warper.proj_name, warper.scale)
     with stage_timer("Compensating exposure", times):
         if images_warped_dev is not None:
             compensator = exposure_mod.feed_device(
@@ -554,20 +558,22 @@ def _stitch_body(source, cfg: StitchConfig,
                 comp_type=cfg.expos_comp_type,
                 nr_feeds=cfg.expos_comp_nr_feeds,
                 nr_filtering=cfg.expos_comp_nr_filtering,
-                block_size=cfg.expos_comp_block_size)
+                block_size=cfg.expos_comp_block_size,
+                period=seam_u_period)
         else:
             compensator = exposure_mod.feed(
                 corners, images_warped, masks_warped,
                 comp_type=cfg.expos_comp_type,
                 nr_feeds=cfg.expos_comp_nr_feeds,
                 nr_filtering=cfg.expos_comp_nr_filtering,
-                block_size=cfg.expos_comp_block_size)
+                block_size=cfg.expos_comp_block_size,
+                period=seam_u_period)
 
     # ---- seam finding (:1027-1067) ----
     with stage_timer("Finding seams", times):
         seam_masks = seams_mod.find_seams(
             images_warped, corners, masks_warped, cfg.seam_find_type,
-            images_dev=images_warped_dev)
+            images_dev=images_warped_dev, period=seam_u_period)
 
     # ---- compositing (:1075-1229) ----
     timelapse_frames: List[str] = []
