@@ -56,27 +56,37 @@ def pack_correspondences(feats, pair_matches, conf_thresh: float,
     fixed-size table (the BA edge set, cf. BundleAdjusterBase::estimate's
     edges from conf > conf_thresh)."""
     conf = np.asarray(pair_matches.confidence)
-    n = conf.shape[0]
     a_idx = np.asarray(pair_matches.a_idx)
     b_idx = np.asarray(pair_matches.b_idx)
     inlier = np.asarray(pair_matches.inlier)
     xy = np.asarray(feats.xy)
     rng = np.random.default_rng(seed)
 
+    if hasattr(pair_matches, "ii"):
+        # MatchGraph pair-list: correspondence tables exist only for the
+        # computed upper-triangle pairs — exactly the i < j set the dense
+        # walk visited.
+        edges = [(int(i), int(j), p)
+                 for p, (i, j) in enumerate(zip(
+                     np.asarray(pair_matches.ii),
+                     np.asarray(pair_matches.jj)))]
+    else:  # dense (N, N, 2K) PairMatches-style tables
+        n = conf.shape[0]
+        edges = [(i, j, (i, j)) for i in range(n) for j in range(i + 1, n)]
+
     cam_i, cam_j, p_i, p_j = [], [], [], []
-    for i in range(n):
-        for j in range(i + 1, n):
-            if conf[i, j] <= conf_thresh:
-                continue
-            rows = np.nonzero(inlier[i, j])[0]
-            if len(rows) == 0:
-                continue
-            if len(rows) > max_per_edge:
-                rows = rng.choice(rows, max_per_edge, replace=False)
-            cam_i.append(np.full(len(rows), i, np.int32))
-            cam_j.append(np.full(len(rows), j, np.int32))
-            p_i.append(xy[i][a_idx[i, j][rows]])
-            p_j.append(xy[j][b_idx[i, j][rows]])
+    for i, j, row_key in edges:
+        if conf[i, j] <= conf_thresh:
+            continue
+        rows = np.nonzero(inlier[row_key])[0]
+        if len(rows) == 0:
+            continue
+        if len(rows) > max_per_edge:
+            rows = rng.choice(rows, max_per_edge, replace=False)
+        cam_i.append(np.full(len(rows), i, np.int32))
+        cam_j.append(np.full(len(rows), j, np.int32))
+        p_i.append(xy[i][a_idx[row_key][rows]])
+        p_j.append(xy[j][b_idx[row_key][rows]])
     if not cam_i:
         return None
     q = sum(len(c) for c in cam_i)

@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import List, Sequence, Tuple
 
 import jax
@@ -433,12 +434,23 @@ def _pair_stats_dev(stack, masks, idx_i, idx_j, off_i, off_j, rect_hw,
     pixel counts, [..., 1:1+nch] side-i intensity sums, the rest side-j.
     """
     n, hp, wp = masks.shape
+    # Pad once so every bucket rect is a contiguous dynamic_slice: a
+    # vmapped dynamic_slice lowers to a BLOCK gather, where the previous
+    # 2D advanced-indexing crop lowered to an element gather — measured
+    # 50+ s of device time on the rig37 pole buckets (~2.5G gathered
+    # elements) vs matmul work of a few hundred ms.  The pad is one HBM
+    # copy (~0.5 ms/GB) shared by the whole bucket's vmap.
+    stack_p = jnp.pad(stack, ((0, 0), (0, bh_b), (0, bw_b), (0, 0)))
+    masks_p = jnp.pad(masks, ((0, 0), (0, bh_b), (0, bw_b)))
 
     def gather(img_idx, off):
-        rows = jnp.clip(off[0] + jnp.arange(bh_b), 0, hp - 1)
-        cols = jnp.clip(off[1] + jnp.arange(bw_b), 0, wp - 1)
-        sub_img = stack[img_idx][rows[:, None], cols[None, :], :]
-        sub_msk = masks[img_idx][rows[:, None], cols[None, :]]
+        oy = jnp.clip(off[0], 0, hp)
+        ox = jnp.clip(off[1], 0, wp)
+        sub_img = jax.lax.dynamic_slice(
+            stack_p, (img_idx, oy, ox, 0),
+            (1, bh_b, bw_b, stack_p.shape[-1]))[0]
+        sub_msk = jax.lax.dynamic_slice(
+            masks_p, (img_idx, oy, ox), (1, bh_b, bw_b))[0]
         return sub_img, sub_msk
 
     def one(ii, jj, oi, oj, hw, pyk, pxk):
@@ -480,6 +492,19 @@ def feed_device(corners, sizes, images_dev, masks_dev,
         comp_type = ECType(comp_type.lower())
     from ..core.transfer import fetch_tree
     from .seams import bucket_dim as _bucket_dim
+
+    import sys
+    import time as _time
+    prof = bool(os.environ.get("STITCH_PROF_EXPOSURE"))
+    t_last = _time.perf_counter()
+
+    def _mark(label):
+        nonlocal t_last
+        if prof:
+            now = _time.perf_counter()
+            print(f"# exposure.{label}: {now - t_last:.3f}s",
+                  file=sys.stderr)
+            t_last = now
 
     n = len(sizes)
     if comp_type == ECType.NO:
@@ -566,8 +591,10 @@ def feed_device(corners, sizes, images_dev, masks_dev,
             nch_mode=nch_mode, bh_b=bh_b, bw_b=bw_b, py_cap=py_cap,
             px_cap=px_cap))
         pair_meta.append((items, ranks))
+    _mark("dispatch")
 
     self_tbl, pair_stats = fetch_tree((self_pend, pair_pend))
+    _mark("fetch")
 
     # Assemble the global system exactly like the host feed (shared
     # _assemble_pair helper carries the rect-intersection N floor).
@@ -605,9 +632,12 @@ def feed_device(corners, sizes, images_dev, masks_dev,
             sj[bi_g, bj_g, :] = tbl[..., 1 + nch:]
             _assemble_pair(n_mat, i_mat, grids, sizes, corners[i], cj,
                            offs, i, j, cnt, si, sj)
+    _mark("assemble")
 
-    return _fit_gains(comp_type, n, grids, offs, b_tot, n_mat, i_mat,
-                      nr_feeds, nr_filtering, per_channel, blocks)
+    out = _fit_gains(comp_type, n, grids, offs, b_tot, n_mat, i_mat,
+                     nr_feeds, nr_filtering, per_channel, blocks)
+    _mark("fit")
+    return out
 
 
 def apply_gain(comp: ExposureCompensator, index: int, corner, img,

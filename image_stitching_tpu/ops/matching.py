@@ -30,7 +30,7 @@ import numpy as np
 from .features.types import Features
 from .ransac import ransac_homography, ransac_affine_partial
 
-__all__ = ["PairMatches", "match_pair", "match_all_pairs",
+__all__ = ["PairMatches", "MatchGraph", "match_pair", "match_all_pairs",
            "register_pair", "hamming_matrix"]
 
 
@@ -228,73 +228,187 @@ def register_pair(img_a: jnp.ndarray, img_b: jnp.ndarray, key: jnp.ndarray,
     return match_pair(fa, fb, key, match_conf, matcher_type, n_hyp)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class MatchGraph:
+    """All-pairs match result: dense per-pair SCALARS + a pair-LIST of the
+    big correspondence tables.
+
+    The per-pair geometry OpenCV's estimators read (H, confidence, inlier
+    count, match count) is dense (N, N) with the i>j half mirrored
+    (swapped roles, inverted H) like BestOf2NearestMatcher.  The O(K)
+    correspondence tables exist ONLY for the computed upper-triangle
+    (range-limited) pairs: `a_idx/b_idx/valid/inlier` are (P, M) with
+    `ii/jj` (P,) naming pair p's images — at N=100/K=4000 defaults the old
+    dense (N, N, 2K) scatter was ~0.8 GB of device memory and download;
+    the pair list is P/N^2 of that and the range matcher shrinks P too.
+    """
+
+    ii: Any           # (P,) int32 — pair p is (ii[p], jj[p]), ii < jj
+    jj: Any           # (P,) int32
+    a_idx: Any        # (P, M) int32 feature indices in image ii
+    b_idx: Any        # (P, M) int32 feature indices in image jj
+    valid: Any        # (P, M) bool — ratio-test matches (capped at M)
+    inlier: Any       # (P, M) bool — RANSAC inliers among valid
+    h: Any            # (N, N, 3, 3)
+    num_inliers: Any  # (N, N) int32
+    confidence: Any   # (N, N) float32
+    num_matches: Any  # (N, N) int32 — ratio-test match count (pre-cap)
+
+    def tree_flatten(self):
+        return ((self.ii, self.jj, self.a_idx, self.b_idx, self.valid,
+                 self.inlier, self.h, self.num_inliers, self.confidence,
+                 self.num_matches), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    def subset(self, indices) -> "MatchGraph":
+        """Re-index onto `indices` (host-side, after download): dense
+        leaves via np.ix_, pair list filtered to pairs with both ends
+        kept — the myLeaveBiggestComponent subset rewrite
+        (`image_stitching.cpp:251-262`).  `indices` must be ascending so
+        ii < jj is preserved."""
+        idx = np.asarray(indices)
+        assert np.all(np.diff(idx) > 0), "indices must be ascending"
+        inv = np.full(self.confidence.shape[0], -1, np.int64)
+        inv[idx] = np.arange(len(idx))
+        ii = np.asarray(self.ii)
+        jj = np.asarray(self.jj)
+        keep = (inv[ii] >= 0) & (inv[jj] >= 0)
+        sub = np.ix_(idx, idx)
+        return MatchGraph(
+            ii=inv[ii[keep]].astype(np.int32),
+            jj=inv[jj[keep]].astype(np.int32),
+            a_idx=np.asarray(self.a_idx)[keep],
+            b_idx=np.asarray(self.b_idx)[keep],
+            valid=np.asarray(self.valid)[keep],
+            inlier=np.asarray(self.inlier)[keep],
+            h=np.asarray(self.h)[sub],
+            num_inliers=np.asarray(self.num_inliers)[sub],
+            confidence=np.asarray(self.confidence)[sub],
+            num_matches=np.asarray(self.num_matches)[sub])
+
+
+def _pair_chunk(k: int) -> int:
+    """Pairs per lax.map step: bound the transient per-chunk (K, K)
+    distance matrices (plus epilogue copies) to ~600 MB so full-triu
+    matching at default num_features=4000 cannot OOM the chip."""
+    per_pair = max(k * k * 12, 1)
+    c = max(1, min(64, int(6e8) // per_pair))
+    return 1 << (c.bit_length() - 1)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("matcher_type", "n_hyp", "range_width"))
+                   static_argnames=("matcher_type", "n_hyp", "range_width",
+                                    "pair_cap"))
 def match_all_pairs(feats: Features, key: jnp.ndarray,
                     match_conf: float = 0.32,
                     matcher_type: str = "homography", n_hyp: int = 512,
-                    range_width: int = -1) -> PairMatches:
-    """All pairs in one vmapped computation.
+                    range_width: int = -1,
+                    pair_cap: int = -1) -> MatchGraph:
+    """All pairs on device, memory-bounded.
 
     Only the upper triangle (i < j, within `range_width` when set —
-    BestOf2NearestRangeMatcher) is computed; i > j comes from mirroring
-    (swap roles, invert H) like OpenCV.  Returns PairMatches with leading
-    (N, N).
+    BestOf2NearestRangeMatcher) is computed; the dense (N, N) scalar
+    tables get i > j by mirroring (swap roles, invert H) like OpenCV.
+    Pairs run through `lax.map` in chunks sized so the per-chunk (K, K)
+    distance matrices stay bounded regardless of N and K.
+
+    pair_cap: static cap M on per-pair correspondence slots (<=0 keeps
+    all 2K).  Valid matches are compacted to the front before capping, so
+    a cap only ever drops ratio-test matches beyond M — num_matches /
+    confidence are computed pre-cap and are exact either way.
     """
     n = feats.xy.shape[0]
+    k = int(feats.xy.shape[1])
     iu, ju = np.triu_indices(n, 1)
     if range_width > 0:
         keep = (ju - iu) < range_width
         iu, ju = iu[keep], ju[keep]
-    ii = jnp.asarray(iu, jnp.int32)
-    jj = jnp.asarray(ju, jnp.int32)
     n_pairs = len(iu)
-    keys = jax.random.split(key, max(n_pairs, 1))
+    m_slots = 2 * k if pair_cap <= 0 else min(pair_cap, 2 * k)
+    if n_pairs == 0:
+        return MatchGraph(
+            ii=jnp.zeros((0,), jnp.int32), jj=jnp.zeros((0,), jnp.int32),
+            a_idx=jnp.zeros((0, m_slots), jnp.int32),
+            b_idx=jnp.zeros((0, m_slots), jnp.int32),
+            valid=jnp.zeros((0, m_slots), bool),
+            inlier=jnp.zeros((0, m_slots), bool),
+            h=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (n, n, 3, 3)),
+            num_inliers=jnp.zeros((n, n), jnp.int32),
+            confidence=jnp.zeros((n, n), jnp.float32),
+            num_matches=jnp.zeros((n, n), jnp.int32))
 
-    def one(i, j, k):
-        return match_pair(feats[i], feats[j], k, match_conf, matcher_type,
+    keys = jax.random.split(key, n_pairs)
+    chunk = _pair_chunk(k)
+    n_chunks = -(-n_pairs // chunk)
+    pad = n_chunks * chunk - n_pairs
+    ii_p = np.concatenate([iu, np.zeros(pad, iu.dtype)])
+    jj_p = np.concatenate([ju, np.zeros(pad, ju.dtype)])
+    keys_p = jnp.concatenate(
+        [keys, jnp.zeros((pad,) + keys.shape[1:], keys.dtype)])
+
+    def one(i, j, kk):
+        return match_pair(feats[i], feats[j], kk, match_conf, matcher_type,
                           n_hyp)
 
-    pm_flat = jax.vmap(one)(ii, jj, keys)
+    pm_flat = jax.lax.map(
+        lambda args: jax.vmap(one)(*args),
+        (jnp.asarray(ii_p.reshape(n_chunks, chunk), jnp.int32),
+         jnp.asarray(jj_p.reshape(n_chunks, chunk), jnp.int32),
+         keys_p.reshape(n_chunks, chunk, *keys.shape[1:])))
+    pm_flat = jax.tree.map(
+        lambda x: x.reshape((n_chunks * chunk,) + x.shape[2:])[:n_pairs],
+        pm_flat)
 
-    # Scatter the computed pairs into dense (N, N) tables.
-    def scatter(x):
+    num_matches = jnp.sum(pm_flat.valid, axis=-1).astype(jnp.int32)
+    if m_slots < 2 * k:
+        # Compact valid slots to the front (stable: feature order kept),
+        # then truncate to the static cap.
+        order = jnp.argsort(~pm_flat.valid, axis=-1,
+                            stable=True)[:, :m_slots]
+
+        def take(x):
+            return jnp.take_along_axis(x, order, axis=-1)
+        a_idx, b_idx = take(pm_flat.a_idx), take(pm_flat.b_idx)
+        valid, inlier = take(pm_flat.valid), take(pm_flat.inlier)
+    else:
+        a_idx, b_idx = pm_flat.a_idx, pm_flat.b_idx
+        valid, inlier = pm_flat.valid, pm_flat.inlier
+
+    ii = jnp.asarray(iu, jnp.int32)
+    jj = jnp.asarray(ju, jnp.int32)
+
+    # Dense per-pair scalars, upper triangle scattered, lower mirrored.
+    def scat(x):
         out = jnp.zeros((n, n) + x.shape[1:], x.dtype)
         return out.at[ii, jj].set(x)
 
-    pm = jax.tree.map(scatter, pm_flat)
+    h_u = scat(pm_flat.h)
+    conf_u = scat(pm_flat.confidence)
+    ninl_u = scat(pm_flat.num_inliers)
+    nm_u = scat(num_matches)
 
-    # Mirror i>j from j<i like OpenCV (swap roles, invert H).
-    def mirror(x, swap_idx=False):
+    def mirror(x):
         return jnp.swapaxes(x, 0, 1)
 
     # Guarded inverse: degenerate pairs (conf 0, e.g. too few matches)
     # carry identity / singular H — substitute identity BEFORE inverting
     # so no inf/nan is ever produced, and emit identity for them after.
-    eye = jnp.eye(3, dtype=pm.h.dtype)
-    hm = mirror(pm.h)
-    h_ok = ((mirror(pm.confidence) > 0.0)
+    eye = jnp.eye(3, dtype=h_u.dtype)
+    hm = mirror(h_u)
+    h_ok = ((mirror(conf_u) > 0.0)
             & jnp.all(jnp.isfinite(hm), axis=(-2, -1))
             & (jnp.abs(jnp.linalg.det(hm)) > 1e-12))
     h_safe = jnp.where(h_ok[..., None, None], hm, eye)
-    lower = PairMatches(
-        a_idx=mirror(pm.b_idx), b_idx=mirror(pm.a_idx),
-        valid=mirror(pm.valid), inlier=mirror(pm.inlier),
-        h=jnp.where(h_ok[..., None, None], jnp.linalg.inv(h_safe), eye),
-        num_inliers=mirror(pm.num_inliers),
-        confidence=mirror(pm.confidence))
+    h_lo = jnp.where(h_ok[..., None, None], jnp.linalg.inv(h_safe), eye)
 
     tri = (jnp.arange(n)[:, None] < jnp.arange(n)[None, :])
-
-    def sel(u, lo):
-        cond = tri.reshape((n, n) + (1,) * (u.ndim - 2))
-        return jnp.where(cond, u, lo)
-
-    return PairMatches(
-        a_idx=sel(pm.a_idx, lower.a_idx),
-        b_idx=sel(pm.b_idx, lower.b_idx),
-        valid=sel(pm.valid, lower.valid),
-        inlier=sel(pm.inlier, lower.inlier),
-        h=sel(pm.h, lower.h),
-        num_inliers=sel(pm.num_inliers, lower.num_inliers),
-        confidence=sel(pm.confidence, lower.confidence))
+    return MatchGraph(
+        ii=ii, jj=jj, a_idx=a_idx, b_idx=b_idx, valid=valid, inlier=inlier,
+        h=jnp.where(tri[..., None, None], h_u, h_lo),
+        num_inliers=jnp.where(tri, ninl_u, mirror(ninl_u)),
+        confidence=jnp.where(tri, conf_u, mirror(conf_u)),
+        num_matches=jnp.where(tri, nm_u, mirror(nm_u)))

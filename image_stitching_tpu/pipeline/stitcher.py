@@ -359,7 +359,13 @@ def _stitch_body(source, cfg: StitchConfig,
                 pm = match_all_pairs(
                     fstack, jax.random.PRNGKey(cfg.seed),
                     match_conf=cfg.match_conf, matcher_type=cfg.matcher_type,
-                    range_width=cfg.range_width)
+                    range_width=cfg.range_width,
+                    # Cap per-pair correspondence slots at K: only matches
+                    # beyond K/pair are dropped (ratio-test counts and the
+                    # confidence stay exact) and the downloaded tables stay
+                    # (P, K) instead of (N, N, 2K) — BA subsamples to 256
+                    # per edge anyway (pack_correspondences).
+                    pair_cap=cfg.num_features)
                 # ONE packed download for the matches AND the keypoint
                 # coordinates (pack_correspondences in the BA stage paid a
                 # separate ~30 ms sync pulling fstack.xy).
@@ -370,7 +376,7 @@ def _stitch_body(source, cfg: StitchConfig,
                 with open(cfg.save_graph_to, "w") as gf:
                     gf.write(matches_graph_dot(
                         paths, pm.confidence, pm.num_inliers,
-                        np.sum(pm.valid, axis=-1), cfg.conf_thresh))
+                        pm.num_matches, cfg.conf_thresh))
             indices, removed = biggest_component(pm.confidence,
                                                  cfg.conf_thresh)
             if removed:
@@ -390,13 +396,10 @@ def _stitch_body(source, cfg: StitchConfig,
         if cfg.serialize_data:
             # Seed cameras: sensor priors when present, else homography
             # bootstrap (the reference's dead-path estimator capability).
+            pm_sub = pm.subset(indices)
             if cameras_all is not None and cfg.estimator_type != "affine":
                 seed_cams = cameras_all[np.asarray(indices)]
             else:
-                sub = np.ix_(indices, indices)
-                pm_sub = jax.tree.map(
-                    lambda x: x[sub] if x.ndim >= 2 and
-                    x.shape[:2] == (n, n) else x, pm)
                 sizes_sub = [
                     scale_size(full_sizes[i][1], full_sizes[i][0],
                                work_scale) for i in indices]
@@ -408,10 +411,6 @@ def _stitch_body(source, cfg: StitchConfig,
                     seed_cams = homography_based_estimate(
                         pm_sub, sizes_sub, cfg.conf_thresh)
             with stage_timer("Bundle adjustment", times):
-                sub = np.ix_(indices, indices)
-                pm_sub = jax.tree.map(
-                    lambda x: x[sub] if x.ndim >= 2 and
-                    x.shape[:2] == (n, n) else x, pm)
                 # pack_correspondences reads ONLY feats.xy (host numpy
                 # after the matching-stage packed fetch): tree-mapping
                 # the whole Features would dispatch dead gathers of the

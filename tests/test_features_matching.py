@@ -241,3 +241,41 @@ def test_match_all_pairs_range_width(scene):
     conf = np.asarray(pm.confidence)
     # |i - j| >= 2 pairs are masked out.
     assert conf[0, 2] == 0.0 and conf[2, 0] == 0.0
+
+
+def test_match_graph_pair_cap_and_subset(scene):
+    """MatchGraph semantics: pair_cap compacts valid matches losslessly up
+    to the cap (dense scalars identical either way), subset() rewrites the
+    pair list like myLeaveBiggestComponent (`image_stitching.cpp:251-262`)."""
+    img1, img2, _ = scene
+    f1 = orb_detect_and_describe(img1, n_features=200)
+    f2 = orb_detect_and_describe(img2, n_features=200)
+    feats = Features.stack([f1, f2, f1])
+    key = jax.random.PRNGKey(0)
+    full = jax.tree.map(np.asarray,
+                        match_all_pairs(feats, key, match_conf=0.3,
+                                        n_hyp=128))
+    capped = jax.tree.map(np.asarray,
+                          match_all_pairs(feats, key, match_conf=0.3,
+                                          n_hyp=128, pair_cap=64))
+    # Dense per-pair scalars are cap-invariant.
+    np.testing.assert_array_equal(capped.confidence, full.confidence)
+    np.testing.assert_array_equal(capped.num_matches, full.num_matches)
+    np.testing.assert_array_equal(capped.h, full.h)
+    assert capped.a_idx.shape[1] == 64
+    # Capped valid slots = the first min(valid, 64) valid slots, in order.
+    for p in range(len(full.ii)):
+        rows_full = np.nonzero(full.valid[p])[0][:64]
+        rows_cap = np.nonzero(capped.valid[p])[0]
+        np.testing.assert_array_equal(capped.a_idx[p][rows_cap],
+                                      full.a_idx[p][rows_full])
+        np.testing.assert_array_equal(capped.b_idx[p][rows_cap],
+                                      full.b_idx[p][rows_full])
+    # subset([0, 2]) keeps only the (0, 2) pair, remapped to (0, 1).
+    sub = full.subset([0, 2])
+    np.testing.assert_array_equal(sub.ii, [0])
+    np.testing.assert_array_equal(sub.jj, [1])
+    np.testing.assert_array_equal(
+        sub.confidence, full.confidence[np.ix_([0, 2], [0, 2])])
+    row_02 = int(np.nonzero((full.ii == 0) & (full.jj == 2))[0][0])
+    np.testing.assert_array_equal(sub.valid[0], full.valid[row_02])
