@@ -379,16 +379,26 @@ def _bench_mosaic100():
         dirs[seed] = d
     run_dir = tempfile.mkdtemp(prefix="bench_mosaic_")
     os.chdir(run_dir)
-    # GAIN exposure: the reference's BLOCKS mode at 100 tiles builds a
-    # ~3000-unknown SVD solve (~tens of seconds of host f64) that would
-    # swamp the device measurement; global GAIN keeps the mode honest
-    # while still exposure-compensating.
-    cfg = StitchConfig(num_features=512, range_width=3,
-                       expos_comp_type="gain", checkpoint_dir=run_dir)
+    # Reference DEFAULTS (image_stitching.cpp:50-85): 4000 ORB features
+    # and GAIN_BLOCKS exposure — both former concessions (512 features,
+    # global GAIN) removed in round 4: the pair-list MatchGraph bounds the
+    # match tables and the rank-staircase device stats + sparse solve made
+    # BLOCKS cheap at mosaic scale.  range_width=3 stays (config 5 is the
+    # BestOf2NearestRange scenario).
+    cfg = StitchConfig(range_width=3, checkpoint_dir=run_dir)
     stitch(dirs[32], cfg, output="")  # warm-up compiles
     t0 = time.perf_counter()
     res = stitch(dirs[31], cfg, output="")
     elapsed = time.perf_counter() - t0
+    try:  # peak device memory (VERDICT r03 #4); absent on some backends
+        import jax
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        if peak:
+            print(f"# peak device memory: {peak / 1e9:.2f} GB",
+                  file=sys.stderr)
+    except Exception:
+        pass
     gt = np.load(os.path.join(dirs[31], "gt.npz"))
     reproj = _reproj_err_px(res.cameras, res.kept_indices,
                             gt["k"], gt["rs"], (h, w),

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -354,49 +355,50 @@ def _l1_dist(invalid_seed: jnp.ndarray, rounds: int) -> jnp.ndarray:
     return d
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("proj_name", "pad_h", "pad_w", "canvas_h", "canvas_w",
-                     "n_bands", "seam_pad_h", "seam_pad_w", "gain_mode",
-                     "use_pallas", "feather_sharpness", "feather_rounds"))
-def _fused_compose_impl(images, ks, rs, scale, tls, canvas_tl,
-                        seam_masks, seam_tls, seam_ratio,
-                        gains, gain_grids, gain_rois, *,
-                        proj_name: str, pad_h: int, pad_w: int,
-                        canvas_h: int, canvas_w: int, n_bands: int,
-                        seam_pad_h: int, seam_pad_w: int, gain_mode: str,
-                        use_pallas: bool = False,
-                        feather_sharpness: float = 0.0,
-                        feather_rounds: int = 0):
-    """One scan over images accumulating multiband canvas pyramids.
+def _init_accs(canvas_h: int, canvas_w: int, n_bands: int):
+    return [jnp.zeros((4, canvas_h >> b, canvas_w >> b), jnp.float32)
+            for b in range(n_bands + 1)]
 
-    images: (N, hc, wc, 3); ks, rs: (N, 3, 3); tls: (N, 2) aligned rect
-    top-lefts (absolute warped coords); canvas_tl: (2,);
-    seam_masks: (N, seam_pad_h, seam_pad_w) float 0/1 (pre-dilated);
-    seam_tls: (N, 2) seam-scale ROI corners; seam_ratio: scalar
-    (seam_warp_scale / compose_warp_scale);
-    gains: per gain_mode — "none": (N,), "scalar": (N,), "channels":
-    (N, 3), "blocks": (N, Gy_max, Gx_max[, 3]) padded per-image maps;
-    gain_grids: (N, 2) float (gh_i, gw_i) actual grid per image;
-    gain_rois: (N, 4) float compose-scale ROI (x, y, w, h) per image.
+
+@functools.partial(
+    jax.jit, donate_argnums=(0,),
+    static_argnames=("proj_name", "pad_h", "pad_w", "n_bands", "gain_mode",
+                     "use_pallas", "feather_sharpness", "feather_rounds"))
+def _accumulate_impl(accs, images, idx, ks, rs, scale, tls, canvas_tl,
+                     seam_masks, seam_tls, seam_ratio,
+                     gains, gain_grids, gain_rois, *,
+                     proj_name: str, pad_h: int, pad_w: int, n_bands: int,
+                     gain_mode: str, use_pallas: bool = False,
+                     feather_sharpness: float = 0.0,
+                     feather_rounds: int = 0):
+    """One scan over a BUCKET of images accumulating into the canvas
+    pyramids (`accs`, donated).
+
+    images / seam_masks / gains stay the full stacks; `idx` (B,) selects
+    this bucket's members on device.  ks/rs/tls/seam_tls/gain_grids/
+    gain_rois arrive already subset (tiny host arrays).  Buckets exist
+    because (pad_h, pad_w) is a STATIC rect: one global rect sized by the
+    largest image made every scan step pay the pole-image dims at rig
+    geometries (~6x the median rect).  Accumulation is a sum, so bucket
+    order doesn't matter.
+
+    ONE scan over images: warp+gain+seam, band pyramid, and the
+    weighted-laplacian accumulate — all fused per image.  The pyramid
+    and accumulate run PLANAR (4, h, w) with the weight as channel 3,
+    and pyrDown/pyrUp are banded matrix products on the MXU
+    (ops/pyr_mat.py).  Download-honest timings at bench shapes (8 x
+    0.45MP rects, 3040x544 canvas, 5 bands; tools/exp_compose_planar.py
+    — jax.block_until_ready is NOT a barrier through the axon tunnel,
+    see CLAUDE.md):
+      interleaved (h, w, 3) + separable slice blurs   43.9 ms
+      planar (4, h, w) + matmul pyramids (this)        3.0 ms
+      batched einsum pyramids + accumulate-only scan   1.8 ms
+        (not worth materializing every warped rect for the last 1.2 ms)
     """
     proj_bwd = PROJECTIONS[proj_name][1]
-    n, hc, wc = images.shape[0], images.shape[1], images.shape[2]
-
-    # ONE scan over images: warp+gain+seam, band pyramid, and the
-    # weighted-laplacian accumulate — all fused per image.  The pyramid
-    # and accumulate run PLANAR (4, h, w) with the weight as channel 3,
-    # and pyrDown/pyrUp are banded matrix products on the MXU
-    # (ops/pyr_mat.py).  Download-honest timings at bench shapes (8 x
-    # 0.45MP rects, 3040x544 canvas, 5 bands; tools/exp_compose_planar.py
-    # — jax.block_until_ready is NOT a barrier through the axon tunnel,
-    # see CLAUDE.md):
-    #   interleaved (h, w, 3) + separable slice blurs   43.9 ms
-    #   planar (4, h, w) + matmul pyramids (this)        3.0 ms
-    #   batched einsum pyramids + accumulate-only scan   1.8 ms
-    #     (not worth materializing every warped rect for the last 1.2 ms)
-    accs = [jnp.zeros((4, canvas_h >> b, canvas_w >> b), jnp.float32)
-            for b in range(n_bands + 1)]
+    imgs_b = images[idx]
+    smask_b = seam_masks[idx]
+    gains_b = gains[idx]
 
     def body(accs, inp):
         img, k, r, tl, smask, stl, gain, ggrid, groi = inp
@@ -448,9 +450,14 @@ def _fused_compose_impl(images, ks, rs, scale, tls, canvas_tl,
 
     accs, _ = jax.lax.scan(
         body, accs,
-        (images, ks, rs, tls, seam_masks, seam_tls, gains, gain_grids,
+        (imgs_b, ks, rs, tls, smask_b, seam_tls, gains_b, gain_grids,
          gain_rois))
+    return accs
 
+
+@functools.partial(jax.jit, static_argnames=("n_bands",))
+def _finalize_impl(accs, *, n_bands: int):
+    """Normalize the accumulated pyramids and collapse to the panorama."""
     bands = [accs[b][:3] / (accs[b][3:4] + WEIGHT_EPS)
              for b in range(n_bands + 1)]
     out = bands[-1]
@@ -460,6 +467,28 @@ def _fused_compose_impl(images, ks, rs, scale, tls, canvas_tl,
     out_u8 = jnp.clip(jnp.round(jnp.transpose(out, (1, 2, 0))),
                       0.0, 255.0).astype(jnp.uint8)
     return out_u8, accs[0][3] > WEIGHT_EPS
+
+
+def _fused_compose_impl(images, ks, rs, scale, tls, canvas_tl,
+                        seam_masks, seam_tls, seam_ratio,
+                        gains, gain_grids, gain_rois, *,
+                        proj_name: str, pad_h: int, pad_w: int,
+                        canvas_h: int, canvas_w: int, n_bands: int,
+                        seam_pad_h: int, seam_pad_w: int, gain_mode: str,
+                        use_pallas: bool = False,
+                        feather_sharpness: float = 0.0,
+                        feather_rounds: int = 0):
+    """Single-bucket composition (kept for tools/ probes): init + one
+    accumulate over all images + finalize."""
+    n = images.shape[0]
+    accs = _init_accs(canvas_h, canvas_w, n_bands)
+    accs = _accumulate_impl(
+        accs, images, jnp.arange(n, dtype=jnp.int32), ks, rs, scale, tls,
+        canvas_tl, seam_masks, seam_tls, seam_ratio, gains, gain_grids,
+        gain_rois, proj_name=proj_name, pad_h=pad_h, pad_w=pad_w,
+        n_bands=n_bands, gain_mode=gain_mode, use_pallas=use_pallas,
+        feather_sharpness=feather_sharpness, feather_rounds=feather_rounds)
+    return _finalize_impl(accs, n_bands=n_bands)
 
 
 def _prep_gains(compensator, n: int, comp_corners, comp_sizes):
@@ -547,14 +576,29 @@ def fused_compose(images: jnp.ndarray, ks: np.ndarray, rs: np.ndarray,
         tly = cy + (((tly - cy) >> n_bands) << n_bands)
         tls.append((tlx, tly))
         brs.append((brx, bry))
-    pad_w = max(br[0] - tl[0] for tl, br in zip(tls, brs))
-    pad_h = max(br[1] - tl[1] for tl, br in zip(tls, brs))
+    # Bucket images by padded-rect dims (half-octave, like the DP seam
+    # buckets): the scan's rect is STATIC per program, and one global rect
+    # sized by the largest image made every step pay the pole-image dims
+    # at rig geometries (~6x the median rect area).  Dims snap to the band
+    # step (pyramids need divisibility) and a 128 quantum for program
+    # reuse across same-rig captures.
+    from ..ops.seams import bucket_dim
     pad_step = max(step, 128)
-    pad_w = min(-(-pad_w // pad_step) * pad_step, canvas_w)
-    pad_h = min(-(-pad_h // pad_step) * pad_step, canvas_h)
-    # Keep rects inside the canvas.
-    tls = [(min(tl[0], cx + canvas_w - pad_w),
-            min(tl[1], cy + canvas_h - pad_h)) for tl in tls]
+
+    def _bdim(v, cap):
+        v = -(-bucket_dim(v) // pad_step) * pad_step
+        return min(v, cap)
+
+    buckets = {}
+    for i in range(n):
+        bw_i = _bdim(brs[i][0] - tls[i][0], canvas_w)
+        bh_i = _bdim(brs[i][1] - tls[i][1], canvas_h)
+        buckets.setdefault((bh_i, bw_i), []).append(i)
+    # Keep each rect inside the canvas (per its bucket dims).
+    for (bh_i, bw_i), idxs in buckets.items():
+        for i in idxs:
+            tls[i] = (min(tls[i][0], cx + canvas_w - bw_i),
+                      min(tls[i][1], cy + canvas_h - bh_i))
 
     smask_d, sh_pad, sw_pad = _prep_seam_masks(seam_masks, n)
 
@@ -572,25 +616,46 @@ def fused_compose(images: jnp.ndarray, ks: np.ndarray, rs: np.ndarray,
                   and jax.default_backend() == "tpu"
                   and 3 * hc_p * wc_p * 4 <= 12 * 2 ** 20)
 
-    pano, mask = _fused_compose_impl(
-        jnp.asarray(images, jnp.float32),
-        jnp.asarray(ks, jnp.float32), jnp.asarray(rs, jnp.float32),
-        jnp.float32(warper.scale),
-        jnp.asarray(np.asarray(tls, np.float32)),
-        jnp.asarray(np.asarray([cx, cy], np.float32)),
-        smask_d,
-        jnp.asarray(np.asarray(seam_corners, np.float32)),
-        jnp.float32(seam_ratio),
-        jnp.asarray(gains),
-        jnp.asarray(gain_grids), jnp.asarray(gain_rois),
-        proj_name=warper.proj_name, pad_h=int(pad_h), pad_w=int(pad_w),
-        canvas_h=int(canvas_h), canvas_w=int(canvas_w),
-        n_bands=int(n_bands), seam_pad_h=int(sh_pad),
-        seam_pad_w=int(sw_pad), gain_mode=gain_mode,
-        use_pallas=use_pallas, feather_sharpness=float(feather_sharpness),
-        feather_rounds=int(feather_rounds))
-    from ..core.transfer import fetch_tree
-    pano, mask = fetch_tree((pano, mask))   # one packed download
+    import time as _time
+    prof = bool(os.environ.get("STITCH_PROF_COMPOSE"))
+    t0 = _time.perf_counter()
+    images_d = jnp.asarray(images, jnp.float32)
+    ks_all = np.asarray(ks, np.float32)
+    rs_all = np.asarray(rs, np.float32)
+    tls_all = np.asarray(tls, np.float32)
+    stl_all = np.asarray(seam_corners, np.float32)
+    ggrid_all = np.asarray(gain_grids, np.float32)
+    groi_all = np.asarray(gain_rois, np.float32)
+    gains_d = jnp.asarray(gains)
+    canvas_tl_d = jnp.asarray(np.asarray([cx, cy], np.float32))
+    accs = _init_accs(int(canvas_h), int(canvas_w), int(n_bands))
+    for (bh_i, bw_i), idxs in sorted(buckets.items()):
+        sel = np.asarray(idxs)
+        accs = _accumulate_impl(
+            accs, images_d, jnp.asarray(sel, jnp.int32),
+            jnp.asarray(ks_all[sel]), jnp.asarray(rs_all[sel]),
+            jnp.float32(warper.scale), jnp.asarray(tls_all[sel]),
+            canvas_tl_d, smask_d, jnp.asarray(stl_all[sel]),
+            jnp.float32(seam_ratio), gains_d,
+            jnp.asarray(ggrid_all[sel]), jnp.asarray(groi_all[sel]),
+            proj_name=warper.proj_name, pad_h=int(bh_i), pad_w=int(bw_i),
+            n_bands=int(n_bands), gain_mode=gain_mode,
+            use_pallas=use_pallas,
+            feather_sharpness=float(feather_sharpness),
+            feather_rounds=int(feather_rounds))
+    pano, mask = _finalize_impl(accs, n_bands=int(n_bands))
+    if prof:
+        print(f"# compose.dispatch: {_time.perf_counter() - t0:.3f}s "
+              f"(buckets {sorted(buckets)}, canvas {canvas_h}x{canvas_w}, "
+              f"bands {n_bands}, n {n})", file=sys.stderr)
+        t0 = _time.perf_counter()
+    from ..core.transfer import fetch_tree, pack_mask_bits, unpack_mask_bits
+    # Mask rides as bit-packed u8 (8x fewer d2h bytes than bool).
+    pano, mask_b = fetch_tree((pano, pack_mask_bits(mask[None])))
+    mask = unpack_mask_bits(mask_b, int(canvas_w))[0] > 0
+    if prof:
+        print(f"# compose.fetch: {_time.perf_counter() - t0:.3f}s",
+              file=sys.stderr)
     pano = np.asarray(pano)[:ch, :cw].astype(np.float32)
     mask = np.asarray(mask)[:ch, :cw]
     return pano, mask
