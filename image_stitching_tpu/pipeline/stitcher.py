@@ -67,7 +67,8 @@ def detect_features(gray, cfg: StitchConfig) -> Features:
     """Feature-family dispatch (`image_stitching.cpp:542-565`); unknown
     types raise with the reference's message."""
     if cfg.features_type == "orb":
-        return orb_detect_and_describe(gray, n_features=cfg.num_features)
+        return orb_detect_and_describe(gray, n_features=cfg.num_features,
+                                       pattern=cfg.orb_pattern)
     if cfg.features_type == "sift":
         return sift_detect_and_describe(gray, n_features=cfg.num_features)
     if cfg.features_type in ("akaze", "surf"):
@@ -275,7 +276,8 @@ def _stitch_body(source, cfg: StitchConfig,
                 if cfg.features_type == "orb":
                     from ..ops.features.orb import orb_detect_stack
                     fstack = orb_detect_stack(
-                        gray_work, n_features=cfg.num_features)
+                        gray_work, n_features=cfg.num_features,
+                        pattern=cfg.orb_pattern)
                 else:
                     fstack = Features.stack([
                         detect_features(gray_work[i], cfg)
