@@ -177,25 +177,66 @@ def _disk_offsets(radius: int) -> np.ndarray:
 @functools.partial(jax.jit, static_argnames=("radius",))
 def _orientations(img: jnp.ndarray, xy: jnp.ndarray,
                   radius: int) -> jnp.ndarray:
-    """Intensity-centroid angle per keypoint (IC_Angle)."""
-    offs = jnp.asarray(_disk_offsets(radius))  # (P, 2)
-    pad = radius + 1
-    padded = jnp.pad(img.astype(jnp.float32), pad, mode="edge")
-    pts = jnp.round(xy).astype(jnp.int32) + pad  # (K, 2) x,y
+    """Intensity-centroid angle per keypoint (IC_Angle).
 
-    sample_y = pts[:, None, 1] + offs[None, :, 1]
-    sample_x = pts[:, None, 0] + offs[None, :, 0]
-    vals = padded[sample_y, sample_x]            # (K, P)
-    m10 = jnp.sum(vals * offs[None, :, 0], axis=1)
-    m01 = jnp.sum(vals * offs[None, :, 1], axis=1)
-    return jnp.arctan2(m01, m10)
+    Dense moment maps (one MXU conv with the x/y-weighted disk kernels)
+    + a 2-value gather per keypoint — the per-keypoint disk gather was
+    ~1.3M gathered elements/image and lowered to an element-wise gather
+    (27.5 ms/VGA image on v5e; the conv form is 1.3 ms).  Valid keypoints
+    sit >= patch/2 + 2 from the border (`inb` in `_orb_impl`), so the
+    disk never leaves the image and SAME zero-padding is value-exact to
+    the old edge-padded gather there.  HIGHEST precision keeps the
+    moment sums f32-exact (default TPU conv precision is bf16).
+    """
+    ys, xs = np.mgrid[-radius:radius + 1, -radius:radius + 1]
+    disk = (xs * xs + ys * ys) <= radius * radius
+    kern = jnp.asarray(np.stack([xs * disk, ys * disk])[:, None],
+                       jnp.float32)                       # (2, 1, S, S)
+    mm = jax.lax.conv_general_dilated(
+        img.astype(jnp.float32)[None, None], kern, (1, 1), "SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST)[0]           # (2, H, W)
+    h, w = img.shape
+    cx = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, w - 1)
+    cy = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, h - 1)
+    return jnp.arctan2(mm[1, cy, cx], mm[0, cy, cx])
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _describe(img_blur: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray,
-              pattern: jnp.ndarray) -> jnp.ndarray:
-    """rBRIEF bits: (K, 8) uint32 words (256 bits), rotated nearest-sample."""
+def _pattern_span(pattern) -> int:
+    """Static patch half-size containing every rotated, rounded sample:
+    ceil(max|coord| * sqrt(2)) + 1 (the +1 absorbs keypoint and sample
+    rounding)."""
+    return int(np.ceil(float(np.abs(np.asarray(pattern)).max())
+                       * np.sqrt(2.0))) + 1
+
+
+@functools.partial(jax.jit, static_argnames=("span",))
+def _describe_impl(img_blur: jnp.ndarray, xy: jnp.ndarray,
+                   angle: jnp.ndarray, pattern: jnp.ndarray,
+                   span: int) -> jnp.ndarray:
+    """rBRIEF bits: (K, 8) uint32 words (256 bits), rotated nearest-sample.
+
+    Samples are read from per-keypoint (2*span+1)^2 patches cut with
+    vmapped `dynamic_slice` from the edge-padded blurred image (a BLOCK
+    gather) plus a small within-patch `take_along_axis` — the
+    whole-image element gather cost 9 ms/VGA image on v5e, this form
+    2.4 ms (the round-4 advanced-indexing lesson, CLAUDE.md).
+    Value-exact to a whole-image clip-gather: samples are clipped in
+    GLOBAL coordinates first and only then rebased into the patch, and
+    |rounded rotated offset| <= span keeps the rebased index in range.
+    """
     h, w = img_blur.shape
+    s = 2 * span + 1
+    k = xy.shape[0]
+    padded = jnp.pad(img_blur, span, mode="edge")
+    cx = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, w - 1)
+    cy = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, h - 1)
+    # dynamic_slice start (cy, cx) on the padded image = original-coords
+    # window [c - span, c + span].
+    patches = jax.vmap(
+        lambda y, x: jax.lax.dynamic_slice(padded, (y, x), (s, s))
+    )(cy, cx).reshape(k, s * s)
+
     ca, sa = jnp.cos(angle), jnp.sin(angle)  # (K,)
     px1 = pattern[:, 0][None]
     py1 = pattern[:, 1][None]
@@ -213,15 +254,25 @@ def _describe(img_blur: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray,
     y0 = xy[:, 1:2]
 
     def fetch(fx, fy):
-        xi = jnp.clip(jnp.round(x0 + fx).astype(jnp.int32), 0, w - 1)
-        yi = jnp.clip(jnp.round(y0 + fy).astype(jnp.int32), 0, h - 1)
-        return img_blur[yi, xi]
+        xi = jnp.clip(jnp.round(x0 + fx).astype(jnp.int32), 0, w - 1) \
+            - (cx[:, None] - span)
+        yi = jnp.clip(jnp.round(y0 + fy).astype(jnp.int32), 0, h - 1) \
+            - (cy[:, None] - span)
+        return jnp.take_along_axis(patches, yi * s + xi, axis=1)
 
     bits = (fetch(r1x, r1y) < fetch(r2x, r2y))     # (K, 256)
     k, n = bits.shape
     words = bits.reshape(k, n // 32, 32).astype(jnp.uint32)
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None]
     return jnp.sum(words * weights, axis=-1, dtype=jnp.uint32)  # (K, 8)
+
+
+def _describe(img_blur, xy, angle, pattern) -> jnp.ndarray:
+    """rBRIEF with the patch span derived from a CONCRETE pattern (direct
+    callers/tests; `_orb_impl` passes the static span itself)."""
+    return _describe_impl(jnp.asarray(img_blur), jnp.asarray(xy),
+                          jnp.asarray(angle), jnp.asarray(pattern),
+                          span=_pattern_span(pattern))
 
 
 def _per_level_counts(n_features: int, n_levels: int,
@@ -237,10 +288,11 @@ def _per_level_counts(n_features: int, n_levels: int,
 @functools.partial(
     jax.jit,
     static_argnames=("n_features", "n_levels", "scale_factor", "patch_size",
-                     "fast_threshold", "base_hw"))
+                     "fast_threshold", "base_hw", "pattern_span"))
 def _orb_impl(gray: jnp.ndarray, pattern: jnp.ndarray, *, n_features: int,
               n_levels: int, scale_factor: float, patch_size: int,
-              fast_threshold: float, base_hw: Tuple[int, int]) -> Features:
+              fast_threshold: float, base_hw: Tuple[int, int],
+              pattern_span: int) -> Features:
     h, w = base_hw
     level_feats = []
     counts = _per_level_counts(n_features, n_levels, scale_factor)
@@ -315,7 +367,8 @@ def _orb_impl(gray: jnp.ndarray, pattern: jnp.ndarray, *, n_features: int,
 
         angle = _orientations(img_l, xy_l, patch_size // 2)
         img_blur = gaussian_blur(img_l, 2.0, 3)
-        desc = _describe(img_blur, xy_l, angle, pattern)
+        desc = _describe_impl(img_blur, xy_l, angle, pattern,
+                              span=pattern_span)
 
         level_feats.append(Features(
             xy=xy_l * scale,
@@ -338,24 +391,44 @@ def _orb_impl(gray: jnp.ndarray, pattern: jnp.ndarray, *, n_features: int,
     return out
 
 
+def _detect_chunk(h: int, w: int, n_features: int, span: int) -> int:
+    """Images vmapped per lax.map step: amortize fixed per-op dispatch
+    cost over a chunk while bounding the chunk working set (~16 live
+    (H, W) f32 planes per image through FAST/Harris plus the per-keypoint
+    describe patches) to ~1 GB."""
+    s = 2 * span + 1
+    per_img = h * w * 4 * 16 + n_features * s * s * 4 * 2
+    c = max(1, min(16, int(1e9) // max(per_img, 1)))
+    return 1 << (c.bit_length() - 1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_features", "n_levels", "scale_factor", "patch_size",
-                     "fast_threshold", "base_hw"))
+                     "fast_threshold", "base_hw", "pattern_span"))
 def _orb_stack_impl(grays, pattern, *, n_features: int, n_levels: int,
                     scale_factor: float, patch_size: int,
                     fast_threshold: float,
-                    base_hw: Tuple[int, int]) -> Features:
+                    base_hw: Tuple[int, int], pattern_span: int) -> Features:
     def one(g):
         return _orb_impl(g, pattern, n_features=n_features,
                          n_levels=n_levels, scale_factor=scale_factor,
                          patch_size=patch_size,
-                         fast_threshold=fast_threshold, base_hw=base_hw)
-    # lax.map (not vmap): detection over the whole stack compiles to ONE
-    # device program (one dispatch instead of N host round trips) while the
-    # sequential image loop keeps peak HBM at one image's working set —
-    # the FAST ring stack alone is 16 x H x W floats per image.
-    return jax.lax.map(one, grays)
+                         fast_threshold=fast_threshold, base_hw=base_hw,
+                         pattern_span=pattern_span)
+    # lax.map over vmapped chunks: one device program for the whole stack
+    # (one dispatch instead of N host round trips), peak HBM bounded to a
+    # chunk's working set, per-op dispatch overhead amortized over the
+    # chunk (`_detect_chunk`).
+    n = grays.shape[0]
+    chunk = min(_detect_chunk(*base_hw, n_features, pattern_span), n)
+    if n % chunk:
+        pad = chunk - n % chunk
+        grays = jnp.concatenate([grays, grays[-1:].repeat(pad, 0)])
+    out = jax.lax.map(jax.vmap(one),
+                      grays.reshape((-1, chunk) + grays.shape[1:]))
+    return jax.tree.map(
+        lambda x: x.reshape((-1,) + x.shape[2:])[:n], out)
 
 
 def orb_detect_stack(grays, n_features: int = 4000,
@@ -374,7 +447,8 @@ def orb_detect_stack(grays, n_features: int = 4000,
         grays, jnp.asarray(pattern), n_features=n_features,
         n_levels=n_levels, scale_factor=scale_factor, patch_size=patch_size,
         fast_threshold=fast_threshold,
-        base_hw=(grays.shape[1], grays.shape[2]))
+        base_hw=(grays.shape[1], grays.shape[2]),
+        pattern_span=_pattern_span(pattern))
 
 
 def orb_detect_and_describe(gray, n_features: int = 4000,
@@ -390,4 +464,5 @@ def orb_detect_and_describe(gray, n_features: int = 4000,
         gray, jnp.asarray(pattern), n_features=n_features,
         n_levels=n_levels, scale_factor=scale_factor, patch_size=patch_size,
         fast_threshold=fast_threshold,
-        base_hw=(gray.shape[0], gray.shape[1]))
+        base_hw=(gray.shape[0], gray.shape[1]),
+        pattern_span=_pattern_span(pattern))
