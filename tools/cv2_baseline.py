@@ -76,7 +76,20 @@ def _stitch_cv2(images, warp_type, blend_type, n_features=1500,
 
     indices = cv2.detail.leaveBiggestComponent(feats, pairwise, conf_thresh)
     kept = [int(i) for i in np.ravel(np.asarray(indices))]
-    feats = [feats[i] for i in kept]
+    if len(kept) < len(feats):
+        # The Python binding of leaveBiggestComponent returns indices
+        # without filtering `pairwise` (the C++ API erases in place), so a
+        # drop leaves stale full-set matches whose empty H lands in the
+        # estimator's spanning tree (cv2.error in invert).  Re-match the
+        # kept subset; count it as matching time.
+        feats = [feats[i] for i in kept]
+        t0 = time.perf_counter()
+        pairwise = matcher.apply2(feats)
+        matcher.collectGarbage()
+        t["matching"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
+    else:
+        feats = [feats[i] for i in kept]
     images_k = [images[i] for i in kept]
 
     estimator = cv2.detail_HomographyBasedEstimator()
