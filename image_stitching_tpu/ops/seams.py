@@ -429,94 +429,90 @@ def _run_dp_tasks(tasks, grad: bool, images_dev=None):
     return out
 
 
-def _find_seams_dp(images, corners, masks, sizes, grad: bool,
-                   images_dev=None, period=None):
-    """DpSeamFinder parity core: label each pair-overlap's connected
-    components, seam every component separately with source/sink sides
-    from the exclusive-region centroids, apply partitions sequentially
-    in pair order (`image_stitching.cpp:1032-1065` machinery)."""
+def _dp_pair_tasks(i, j, images, corners, masks_src, sizes, images_dev,
+                   period):
+    """Component-DP tasks for one pair against `masks_src` (the initial
+    masks in the batched path, the EVOLVED masks in strict mode)."""
     import scipy.ndimage as ndi
 
-    n = len(masks)
-    masks0 = [m.copy() for m in masks]
+    cj = periodic_corner(corners[i], sizes[i], corners[j],
+                         sizes[j], period)
+    box = _overlap_box(corners[i], sizes[i], cj, sizes[j])
+    if box[2] <= 0 or box[3] <= 0:
+        return []
+    m1 = _crop(masks_src[i], corners[i], box) > 0
+    m2 = _crop(masks_src[j], cj, box) > 0
+    ov = m1 & m2
+    if not ov.any():
+        return []
+    if images_dev is None:
+        im1 = _crop(np.asarray(images[i], np.float32), corners[i],
+                    box)
+        im2 = _crop(np.asarray(images[j], np.float32), cj,
+                    box)
+    excl1 = m1 & ~m2
+    excl2 = m2 & ~m1
+    lab, n_comp = ndi.label(ov)
     tasks = []
-    for i in range(n):
-        for j in range(i + 1, n):
-            cj = periodic_corner(corners[i], sizes[i], corners[j],
-                                 sizes[j], period)
-            box = _overlap_box(corners[i], sizes[i], cj, sizes[j])
-            if box[2] <= 0 or box[3] <= 0:
-                continue
-            m1 = _crop(masks0[i], corners[i], box) > 0
-            m2 = _crop(masks0[j], cj, box) > 0
-            ov = m1 & m2
-            if not ov.any():
-                continue
-            if images_dev is None:
-                im1 = _crop(np.asarray(images[i], np.float32), corners[i],
-                            box)
-                im2 = _crop(np.asarray(images[j], np.float32), cj,
-                            box)
-            excl1 = m1 & ~m2
-            excl2 = m2 & ~m1
-            lab, n_comp = ndi.label(ov)
-            for c, sl in enumerate(ndi.find_objects(lab, n_comp), start=1):
-                if sl is None:
-                    continue
-                comp = lab[sl] == c
-                y0, y1 = sl[0].start, sl[0].stop
-                x0, x1 = sl[1].start, sl[1].stop
-                bh, bw = y1 - y0, x1 - x0
-                # Source/sink sides: centroids of each image's exclusive
-                # region in a window around the component; fall back to
-                # the warped-ROI centers when an exclusive side is empty.
-                wy0 = max(0, y0 - max(8, bh // 2))
-                wy1 = min(box[3], y1 + max(8, bh // 2))
-                wx0 = max(0, x0 - max(8, bw // 2))
-                wx1 = min(box[2], x1 + max(8, bw // 2))
+    for c, sl in enumerate(ndi.find_objects(lab, n_comp), start=1):
+        if sl is None:
+            continue
+        comp = lab[sl] == c
+        y0, y1 = sl[0].start, sl[0].stop
+        x0, x1 = sl[1].start, sl[1].stop
+        bh, bw = y1 - y0, x1 - x0
+        # Source/sink sides: centroids of each image's exclusive
+        # region in a window around the component; fall back to
+        # the warped-ROI centers when an exclusive side is empty.
+        wy0 = max(0, y0 - max(8, bh // 2))
+        wy1 = min(box[3], y1 + max(8, bh // 2))
+        wx0 = max(0, x0 - max(8, bw // 2))
+        wx1 = min(box[2], x1 + max(8, bw // 2))
 
-                def _centroid(excl, fallback):
-                    e = excl[wy0:wy1, wx0:wx1]
-                    if e.any():
-                        ys, xs = np.nonzero(e)
-                        return float(xs.mean() + wx0), float(ys.mean() + wy0)
-                    return fallback
-                fb1 = (corners[i][0] + sizes[i][0] * 0.5 - box[0],
-                       corners[i][1] + sizes[i][1] * 0.5 - box[1])
-                fb2 = (cj[0] + sizes[j][0] * 0.5 - box[0],
-                       cj[1] + sizes[j][1] * 0.5 - box[1])
-                cx1, cy1 = _centroid(excl1, fb1)
-                cx2, cy2 = _centroid(excl2, fb2)
-                horiz = abs(cx1 - cx2) * bh >= abs(cy1 - cy2) * bw
-                vc = comp
-                if images_dev is None:
-                    c1, c2 = im1[sl], im2[sl]
-                else:
-                    c1 = c2 = None
-                if horiz:
-                    prefer1 = cx1 <= cx2
-                else:
-                    if c1 is not None:
-                        c1 = c1.transpose(1, 0, 2)
-                        c2 = c2.transpose(1, 0, 2)
-                    vc = comp.T
-                    prefer1 = cy1 <= cy2
-                # Crop offsets in each image's local (roi-anchored) coords
-                # — the device-sourced bucket gathers rects by these.
-                off_i = (box[1] - corners[i][1] + y0,
-                         box[0] - corners[i][0] + x0)
-                off_j = (box[1] - cj[1] + y0,
-                         box[0] - cj[0] + x0)
-                tasks.append(dict(i=i, j=j, box=box, sl=sl, comp=comp,
-                                  horiz=horiz, prefer1=prefer1,
-                                  c1=c1, c2=c2, vc=vc, cj=cj,
-                                  off_i=off_i, off_j=off_j))
+        def _centroid(excl, fallback):
+            e = excl[wy0:wy1, wx0:wx1]
+            if e.any():
+                ys, xs = np.nonzero(e)
+                return float(xs.mean() + wx0), float(ys.mean() + wy0)
+            return fallback
+        fb1 = (corners[i][0] + sizes[i][0] * 0.5 - box[0],
+               corners[i][1] + sizes[i][1] * 0.5 - box[1])
+        fb2 = (cj[0] + sizes[j][0] * 0.5 - box[0],
+               cj[1] + sizes[j][1] * 0.5 - box[1])
+        cx1, cy1 = _centroid(excl1, fb1)
+        cx2, cy2 = _centroid(excl2, fb2)
+        horiz = abs(cx1 - cx2) * bh >= abs(cy1 - cy2) * bw
+        vc = comp
+        if images_dev is None:
+            c1, c2 = im1[sl], im2[sl]
+        else:
+            c1 = c2 = None
+        if horiz:
+            prefer1 = cx1 <= cx2
+        else:
+            if c1 is not None:
+                c1 = c1.transpose(1, 0, 2)
+                c2 = c2.transpose(1, 0, 2)
+            vc = comp.T
+            prefer1 = cy1 <= cy2
+        # Crop offsets in each image's local (roi-anchored) coords
+        # — the device-sourced bucket gathers rects by these.
+        off_i = (box[1] - corners[i][1] + y0,
+                 box[0] - corners[i][0] + x0)
+        off_j = (box[1] - cj[1] + y0,
+                 box[0] - cj[0] + x0)
+        tasks.append(dict(i=i, j=j, box=box, sl=sl, comp=comp,
+                          horiz=horiz, prefer1=prefer1,
+                          c1=c1, c2=c2, vc=vc, cj=cj,
+                          off_i=off_i, off_j=off_j))
+    return tasks
 
-    keep1_all = _run_dp_tasks(tasks, grad, images_dev)
 
-    # Sequential application in pair order against the EVOLVING masks:
-    # a pixel already surrendered to an earlier pair is out of play, so
-    # triple overlaps stay hole-free like OpenCV's sequential process().
+def _apply_dp_partitions(tasks, keep1_all, masks, corners):
+    """Apply component partitions in pair order against the EVOLVING
+    masks: a pixel already surrendered to an earlier pair is out of play,
+    so triple overlaps stay hole-free like OpenCV's sequential
+    process()."""
     for t, keep1 in zip(tasks, keep1_all):
         if not t["horiz"]:
             keep1 = keep1.T
@@ -532,6 +528,42 @@ def _find_seams_dp(images, corners, masks, sizes, grad: bool,
         ov_now = (sub_i > 0) & (sub_j > 0) & comp
         sub_i[ov_now & ~keep1] = 0
         sub_j[ov_now & keep1] = 0
+
+
+def _find_seams_dp(images, corners, masks, sizes, grad: bool,
+                   images_dev=None, period=None, strict: bool = False):
+    """DpSeamFinder parity core: label each pair-overlap's connected
+    components, seam every component separately with source/sink sides
+    from the exclusive-region centroids, apply partitions sequentially
+    in pair order (`image_stitching.cpp:1032-1065` machinery).
+
+    strict=False (default): component/cost/side tables are computed ONCE
+    from the initial masks and ALL DPs batch into a few bucketed device
+    dispatches; only the partition APPLICATION is sequential.
+    strict=True: full OpenCV order — each pair's components are relabeled
+    from the masks EVOLVED by earlier pairs and its DPs dispatch before
+    the next pair is examined (one dispatch group per pair: a parity
+    quantification mode, not a fast path — see tools/seam_delta.py)."""
+    n = len(masks)
+    if strict:
+        for i in range(n):
+            for j in range(i + 1, n):
+                tasks = _dp_pair_tasks(i, j, images, corners, masks,
+                                       sizes, images_dev, period)
+                if not tasks:
+                    continue
+                keep1_all = _run_dp_tasks(tasks, grad, images_dev)
+                _apply_dp_partitions(tasks, keep1_all, masks, corners)
+        return masks
+
+    masks0 = [m.copy() for m in masks]
+    tasks = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            tasks.extend(_dp_pair_tasks(i, j, images, corners, masks0,
+                                        sizes, images_dev, period))
+    keep1_all = _run_dp_tasks(tasks, grad, images_dev)
+    _apply_dp_partitions(tasks, keep1_all, masks, corners)
     return masks
 
 
@@ -539,7 +571,8 @@ def _find_seams_dp(images, corners, masks, sizes, grad: bool,
 def find_seams(images: Sequence[np.ndarray], corners: Sequence[Tuple[int, int]],
                masks: Sequence[np.ndarray],
                seam_type: str = "dp_color",
-               images_dev=None, period=None) -> List[np.ndarray]:
+               images_dev=None, period=None,
+               strict: bool = False) -> List[np.ndarray]:
     """seam_finder->find(images_f, corners, masks) (`:1065`): returns the
     updated masks.  seam_type in {no, voronoi, dp_color, dp_colorgrad,
     gc_color, gc_colorgrad}; unknown types raise (parity `:1059-1063`).
@@ -550,7 +583,12 @@ def find_seams(images: Sequence[np.ndarray], corners: Sequence[Tuple[int, int]],
     instead of re-uploading it through the tunnel.
 
     period: the warped u-axis period in pixels (2*pi*scale) for periodic
-    projections, enabling cross-dateline pair coupling (periodic_corner)."""
+    projections, enabling cross-dateline pair coupling (periodic_corner).
+
+    strict (DP finders only): replicate OpenCV's strict sequential order —
+    per-pair components relabeled from the evolving masks, one dispatch
+    group per pair.  A parity-quantification mode (tools/seam_delta.py);
+    the batched default is the production path."""
     known = {"no", "voronoi", "dp_color", "dp_colorgrad", "gc_color",
              "gc_colorgrad"}
     if seam_type not in known:
@@ -574,7 +612,8 @@ def find_seams(images: Sequence[np.ndarray], corners: Sequence[Tuple[int, int]],
 
     if seam_type.startswith("dp"):
         return _find_seams_dp(images, corners, masks, sizes, grad,
-                              images_dev=images_dev, period=period)
+                              images_dev=images_dev, period=period,
+                              strict=strict)
 
     # Graph cut: the per-pair color cost depends only on the IMAGES (not
     # the evolving masks), so prefetch every overlapping pair's cost in
