@@ -174,32 +174,48 @@ def _disk_offsets(radius: int) -> np.ndarray:
     return np.stack([xs[m], ys[m]], -1).astype(np.int32)
 
 
+def _extract_patches(img: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray,
+                     span: int) -> jnp.ndarray:
+    """(K, (2*span+1)^2) windows centered at integer keypoints, cut with
+    vmapped `dynamic_slice` from the edge-padded image — a BLOCK gather.
+    Per-keypoint element gathers (advanced indexing) lower to one element
+    per cycle on TPU and were the detect-stage wall (27.5 ms/VGA image
+    for the IC-angle disk alone); block slices are the fast spelling
+    (the round-4 advanced-indexing lesson, CLAUDE.md)."""
+    s = 2 * span + 1
+    padded = jnp.pad(img, span, mode="edge")
+    # dynamic_slice start (cy, cx) on the padded image = original-coords
+    # window [c - span, c + span].
+    return jax.vmap(
+        lambda y, x: jax.lax.dynamic_slice(padded, (y, x), (s, s))
+    )(cy, cx).reshape(cy.shape[0], s * s)
+
+
 @functools.partial(jax.jit, static_argnames=("radius",))
 def _orientations(img: jnp.ndarray, xy: jnp.ndarray,
                   radius: int) -> jnp.ndarray:
     """Intensity-centroid angle per keypoint (IC_Angle).
 
-    Dense moment maps (one MXU conv with the x/y-weighted disk kernels)
-    + a 2-value gather per keypoint — the per-keypoint disk gather was
-    ~1.3M gathered elements/image and lowered to an element-wise gather
-    (27.5 ms/VGA image on v5e; the conv form is 1.3 ms).  Valid keypoints
-    sit >= patch/2 + 2 from the border (`inb` in `_orb_impl`), so the
-    disk never leaves the image and SAME zero-padding is value-exact to
-    the old edge-padded gather there.  HIGHEST precision keeps the
-    moment sums f32-exact (default TPU conv precision is bf16).
+    Per-keypoint (2r+1)^2 patches (block gather, `_extract_patches`) then
+    the disk moments as ONE (K, S^2) @ (S^2, 2) matmul.  A dense
+    moment-map conv (41x41 2-channel, HIGHEST) was tried first and is
+    catastrophically slow on v5e in the batched detect stack (~310 ms/VGA
+    image: C_out=2 with C_in=1 leaves the MXU ~1/64 utilized and HIGHEST
+    multiplies the passes — measured by bisection, round 4); the patch
+    matmul form is ~1 ms.  Samples equal the old edge-padded element
+    gather exactly; HIGHEST keeps the f32 moment sums exact.
     """
-    ys, xs = np.mgrid[-radius:radius + 1, -radius:radius + 1]
-    disk = (xs * xs + ys * ys) <= radius * radius
-    kern = jnp.asarray(np.stack([xs * disk, ys * disk])[:, None],
-                       jnp.float32)                       # (2, 1, S, S)
-    mm = jax.lax.conv_general_dilated(
-        img.astype(jnp.float32)[None, None], kern, (1, 1), "SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=jax.lax.Precision.HIGHEST)[0]           # (2, H, W)
     h, w = img.shape
     cx = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, w - 1)
     cy = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, h - 1)
-    return jnp.arctan2(mm[1, cy, cx], mm[0, cy, cx])
+    vals = _extract_patches(img.astype(jnp.float32), cy, cx, radius)
+    ys, xs = np.mgrid[-radius:radius + 1, -radius:radius + 1]
+    disk = (xs * xs + ys * ys) <= radius * radius
+    wgt = jnp.asarray(
+        np.stack([(xs * disk).ravel(), (ys * disk).ravel()], -1),
+        jnp.float32)                                     # (S^2, 2)
+    mm = jnp.dot(vals, wgt, precision=jax.lax.Precision.HIGHEST)  # (K, 2)
+    return jnp.arctan2(mm[:, 1], mm[:, 0])
 
 
 def _pattern_span(pattern) -> int:
@@ -227,15 +243,9 @@ def _describe_impl(img_blur: jnp.ndarray, xy: jnp.ndarray,
     """
     h, w = img_blur.shape
     s = 2 * span + 1
-    k = xy.shape[0]
-    padded = jnp.pad(img_blur, span, mode="edge")
     cx = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, w - 1)
     cy = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, h - 1)
-    # dynamic_slice start (cy, cx) on the padded image = original-coords
-    # window [c - span, c + span].
-    patches = jax.vmap(
-        lambda y, x: jax.lax.dynamic_slice(padded, (y, x), (s, s))
-    )(cy, cx).reshape(k, s * s)
+    patches = _extract_patches(img_blur, cy, cx, span)
 
     ca, sa = jnp.cos(angle), jnp.sin(angle)  # (K,)
     px1 = pattern[:, 0][None]
