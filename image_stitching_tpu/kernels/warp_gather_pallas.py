@@ -13,9 +13,11 @@ with w the 2-tap bilinear hats.  Per output row-of-tile the horizontal
 contraction is a dense (3S, W_SRC) @ (W_SRC, TW) matmul against the 1-D
 interpolation matrix built in VMEM (`max(0, 1 - |x - sx(u)|)` — the
 `_interp_matrix` trick, exact), and the vertical contraction is a masked
-weighted sum over the S-row strip.  The source image stays VMEM-resident
-(~5 MB f32 planar at bench compose shapes), the strip/window are
-dynamic slices of it, and no HBM gather descriptors are ever issued.
+weighted sum over the S-row strip.  One source CHANNEL plane at a time
+stays VMEM-resident (the channel is the outermost grid dimension), the
+strip/window are dynamic slices of it, and no HBM gather descriptors are
+ever issued.  Admissible sources are bounded by one padded channel
+plane fitting the VMEM budget (~12 MB -> ~3 MP/channel).
 
 Coordinate semantics: sx/sy must be pre-clamped to [0, wc-1] x [0, hc-1]
 (clamp-to-edge).  For samples inside the warp-validity mask this equals
@@ -46,12 +48,16 @@ TW = 128        # output tile cols (lane width)
 
 def _kernel(sx_ref, sy_ref, img_ref, out_ref, *, s_rows: int, w_src: int,
             hc_p: int, wc_p: int):
-    """One (TH, TW) output tile: per row, strip slice + interp matmul.
+    """One (TH, TW) output tile of ONE channel: per row, strip slice +
+    interp matmul.
 
-    img_ref is the channel-stacked 2-D view (3*hc_p, wc_p); strip
-    offsets are floor-aligned to the (8, 128) tile grid — Mosaic
-    requires aligned dynamic vector loads — so the windows carry an
-    extra (8, 128) of slack accounted for in `tile_spans_ok`."""
+    img_ref is a single (1, hc_p, wc_p) channel block — the channel is
+    a grid dimension (outermost, so each channel streams into VMEM once
+    per kernel run), which caps VMEM at one channel plane instead of
+    three and triples the admissible source size.  Strip offsets are
+    floor-aligned to the (8, 128) tile grid — Mosaic requires aligned
+    dynamic vector loads — so the windows carry an extra (8, 128) of
+    slack accounted for in `tile_spans_ok`."""
     for r in range(TH):
         sxr = sx_ref[r, :]                                    # (TW,)
         syr = sy_ref[r, :]
@@ -61,9 +67,7 @@ def _kernel(sx_ref, sy_ref, img_ref, out_ref, *, s_rows: int, w_src: int,
         y_lo = jnp.clip((y_lo // 8) * 8, 0, hc_p - s_rows)
         x_lo = pl.multiple_of(x_lo, 128)
         y_lo = pl.multiple_of(y_lo, 8)
-        strip = jnp.concatenate([
-            img_ref[pl.ds(c * hc_p + y_lo, s_rows), pl.ds(x_lo, w_src)]
-            for c in range(3)], axis=0).reshape(3, s_rows, w_src)
+        strip = img_ref[0, pl.ds(y_lo, s_rows), pl.ds(x_lo, w_src)]
         # Horizontal bilinear as a dense interp-matrix matmul (exact:
         # 2-tap hat weights; out-of-window columns have weight 0 by the
         # host's span precondition).
@@ -71,14 +75,13 @@ def _kernel(sx_ref, sy_ref, img_ref, out_ref, *, s_rows: int, w_src: int,
                                       ).astype(jnp.float32)
         mx = jnp.maximum(0.0, 1.0 - jnp.abs(
             xi + x_lo.astype(jnp.float32) - sxr[None, :]))
-        rv = jnp.dot(strip.reshape(3 * s_rows, w_src), mx,
-                     preferred_element_type=jnp.float32)      # (3S, TW)
-        rv = rv.reshape(3, s_rows, TW)
+        rv = jnp.dot(strip, mx,
+                     preferred_element_type=jnp.float32)      # (S, TW)
         yi = jax.lax.broadcasted_iota(jnp.int32, (s_rows, TW), 0
                                       ).astype(jnp.float32)
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(
             yi + y_lo.astype(jnp.float32) - syr[None, :]))
-        out_ref[:, r, :] = jnp.sum(rv * wy[None], axis=1)
+        out_ref[0, r, :] = jnp.sum(rv * wy, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("s_rows", "w_src",
@@ -103,8 +106,7 @@ def warp_bilinear_pallas(img_planar: jnp.ndarray, sx: jnp.ndarray,
     hc_p = max(-(-hc // 8) * 8, s_rows)
     wc_p = max(-(-wc // 128) * 128, w_src)
     img_p = jnp.pad(img_planar,
-                    ((0, 0), (0, hc_p - hc), (0, wc_p - wc))
-                    ).reshape(3 * hc_p, wc_p)
+                    ((0, 0), (0, hc_p - hc), (0, wc_p - wc)))
     # Edge-pad the coordinate fields: zero padding would mix far-away
     # coords into an edge tile's min() and blow its source window.
     # (Manual edge pad: jnp.pad(mode="edge") with a zero-width dim hits
@@ -118,26 +120,34 @@ def warp_bilinear_pallas(img_planar: jnp.ndarray, sx: jnp.ndarray,
     sx_p = edge_pad(sx, hp - h, wp - w)
     sy_p = edge_pad(sy, hp - h, wp - w)
 
-    grid = (hp // TH, wp // TW)
+    # Channel as the OUTERMOST grid dim: the (1, hc_p, wc_p) channel
+    # block streams into VMEM once per kernel run (consecutive (i, j)
+    # steps reuse it), so peak VMEM is one channel plane — a 3x higher
+    # source-size ceiling than the old channel-stacked resident image.
+    grid = (3, hp // TH, wp // TW)
     out = pl.pallas_call(
         functools.partial(_kernel, s_rows=s_rows, w_src=w_src,
                           hc_p=hc_p, wc_p=wc_p),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TH, TW), lambda i, j: (i, j),
+            pl.BlockSpec((TH, TW), lambda c, i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TH, TW), lambda i, j: (i, j),
+            pl.BlockSpec((TH, TW), lambda c, i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * hc_p, wc_p), lambda i, j: (0, 0),
+            pl.BlockSpec((1, hc_p, wc_p), lambda c, i, j: (c, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((3, TH, TW), lambda i, j: (0, i, j),
+        out_specs=pl.BlockSpec((1, TH, TW), lambda c, i, j: (c, i, j),
                                memory_space=pltpu.VMEM),
+        # NB: not usable under shard_map with check_vma=True — the kernel
+        # trace mixes varying refs with literal indices, which the vma
+        # checker rejects.  Callers embedding this in shard_map pass
+        # check_vma=False (jax's sanctioned pallas-in-shard_map mode).
         out_shape=jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * 3 * s_rows * w_src * hp * wp,
-            bytes_accessed=(3 * hc_p * wc_p + 2 * hp * wp + 3 * hp * wp)
-            * 4,
+            bytes_accessed=(3 * hc_p * wc_p + 3 * 2 * hp * wp
+                            + 3 * hp * wp) * 4,
             transcendentals=0),
         interpret=interpret,
     )(sx_p, sy_p, img_p)

@@ -612,9 +612,13 @@ def fused_compose(images: jnp.ndarray, ks: np.ndarray, rs: np.ndarray,
     # _warp_gain_seam picks kernel vs gather at run time.
     hc_p = max(-(-images.shape[1] // 8) * 8, 24)
     wc_p = max(-(-images.shape[2] // 128) * 128, 384)
+    # Per-CHANNEL budget: the kernel streams one channel plane at a
+    # time (channel = outermost grid dim), so sources up to ~3 MP/ch
+    # qualify (e.g. half-scale 8 MP e2e compose, the rig tiles, the
+    # gigapixel bench sources).
     use_pallas = (os.environ.get("STITCH_NO_PALLAS", "0") != "1"
                   and jax.default_backend() == "tpu"
-                  and 3 * hc_p * wc_p * 4 <= 12 * 2 ** 20)
+                  and hc_p * wc_p * 4 <= 12 * 2 ** 20)
 
     import time as _time
     prof = bool(os.environ.get("STITCH_PROF_COMPOSE"))
@@ -756,9 +760,13 @@ def _sharded_compose_fn(mesh, axis: str, proj_name: str, canvas_h: int,
         valid = accs[0][3, :, margin:margin + w_local] > WEIGHT_EPS
         return out_u8, valid
 
+    # check_vma=False: the Pallas warp kernel cannot trace under the vma
+    # checker (varying refs vs literal kernel indices); jax's sanctioned
+    # mode for pallas-in-shard_map.  The pcast below becomes inert.
     fn = shard_map(local_fn, mesh=mesh,
                    in_specs=(P(),) * 11,
-                   out_specs=(P(None, axis, None), P(None, axis)))
+                   out_specs=(P(None, axis, None), P(None, axis)),
+                   check_vma=False)
     return jax.jit(fn)
 
 
@@ -802,9 +810,13 @@ def fused_compose_sharded(mesh, images: jnp.ndarray, ks: np.ndarray,
 
     hc_p = max(-(-images.shape[1] // 8) * 8, 24)
     wc_p = max(-(-images.shape[2] // 128) * 128, 384)
+    # Per-CHANNEL budget: the kernel streams one channel plane at a
+    # time (channel = outermost grid dim), so sources up to ~3 MP/ch
+    # qualify (e.g. half-scale 8 MP e2e compose, the rig tiles, the
+    # gigapixel bench sources).
     use_pallas = (os.environ.get("STITCH_NO_PALLAS", "0") != "1"
                   and jax.default_backend() == "tpu"
-                  and 3 * hc_p * wc_p * 4 <= 12 * 2 ** 20)
+                  and hc_p * wc_p * 4 <= 12 * 2 ** 20)
 
     fn = _sharded_compose_fn(mesh, axis, warper.proj_name,
                              int(canvas_h), int(canvas_w), int(n_bands),
