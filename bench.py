@@ -294,6 +294,28 @@ def _bench_cyl4():
     }
 
 
+def _noisy_twin_dir(cache_root: str, name: str, images, k, rs) -> str:
+    """Write a warm-up twin of a capture set: SAME scene (so every
+    data-dependent static shape — canvas snap, seam/exposure buckets,
+    pow2 pair pads — compiles identically to the timed run) with +-2 LSB
+    uniform pixel noise (so no buffer is content-identical and the axon
+    runtime cannot memoize any dispatch).  A different-SEED warm-up can
+    miss the timed seed's bucket shapes entirely: the timed mosaic100
+    run then ate ~25 s of mid-run tunnel compiles in the exposure/seam
+    stages (NOTES_r04)."""
+    d = os.path.join(cache_root, name)
+    if not os.path.isdir(d) or not os.path.exists(
+            os.path.join(d, "gt.npz")):
+        from image_stitching_tpu.data.synth import write_capture_dir
+        rng = np.random.default_rng(777)
+        noisy = [np.clip(im.astype(np.int16) +
+                         rng.integers(-2, 3, im.shape, dtype=np.int16),
+                         0, 255).astype(np.uint8) for im in images]
+        write_capture_dir(d, noisy, k, rs)
+        np.savez(os.path.join(d, "gt.npz"), k=k, rs=np.stack(rs))
+    return d
+
+
 def _bench_rig37():
     """The reference's flagship scenario: the full 5-ring 37-image rig
     (`image_stitching.cpp:87-102`) at reduced resolution — 666 candidate
@@ -307,23 +329,22 @@ def _bench_rig37():
     h = int(os.environ.get("BENCH_RIG_H", "960"))
     w = int(os.environ.get("BENCH_RIG_W", "1280"))
     cache_root = os.path.expanduser("~/.cache/stitch_bench")
-    dirs = {}
-    for seed in (21, 22):
-        d = os.path.join(cache_root, f"rig37_{h}x{w}_s{seed}")
-        if not os.path.isdir(d) or not os.path.exists(
-                os.path.join(d, "gt.npz")):
-            images, k, rs = make_rig_captures(hw=(h, w), seed=seed)
-            write_capture_dir(d, images, k, rs)
-            np.savez(os.path.join(d, "gt.npz"), k=k, rs=np.stack(rs))
-        dirs[seed] = d
+    images, k, rs = make_rig_captures(hw=(h, w), seed=21)
+    d_main = os.path.join(cache_root, f"rig37_{h}x{w}_s21")
+    if not os.path.isdir(d_main) or not os.path.exists(
+            os.path.join(d_main, "gt.npz")):
+        write_capture_dir(d_main, images, k, rs)
+        np.savez(os.path.join(d_main, "gt.npz"), k=k, rs=np.stack(rs))
+    d_warm = _noisy_twin_dir(cache_root, f"rig37_{h}x{w}_s21w",
+                             images, k, rs)
     run_dir = tempfile.mkdtemp(prefix="bench_rig37_")
     os.chdir(run_dir)
     cfg = StitchConfig(num_features=1000, checkpoint_dir=run_dir)
-    stitch(dirs[22], cfg, output="")  # warm-up compiles
+    stitch(d_warm, cfg, output="")  # warm-up compiles, same shapes
     t0 = time.perf_counter()
-    res = stitch(dirs[21], cfg, output="")
+    res = stitch(d_main, cfg, output="")
     elapsed = time.perf_counter() - t0
-    gt = np.load(os.path.join(dirs[21], "gt.npz"))
+    gt = np.load(os.path.join(d_main, "gt.npz"))
     # Rig fov is 68 deg (data/synth.make_rig_captures): pairs within
     # ~0.65 fov share real overlap; index adjacency would cross ring
     # boundaries where views share nothing.
@@ -364,19 +385,18 @@ def _bench_mosaic100():
     n = int(os.environ.get("BENCH_MOSAIC_N", "100"))
     h, w = 480, 640
     cache_root = os.path.expanduser("~/.cache/stitch_bench")
-    dirs = {}
-    for seed in (31, 32):
-        d = os.path.join(cache_root, f"mosaic{n}_{h}x{w}_s{seed}")
-        if not os.path.isdir(d) or not os.path.exists(
-                os.path.join(d, "gt.npz")):
-            # Narrow fov: 100 tiles x 3.6 deg of fresh yaw wrap the full
-            # circle like a motorized-mosaic capture.
-            images, k, rs = make_ring_captures(
-                n_images=n, hw=(h, w), fov_deg=8, overlap_ratio=0.55,
-                seed=seed, texture_detail=True)
-            write_capture_dir(d, images, k, rs)
-            np.savez(os.path.join(d, "gt.npz"), k=k, rs=np.stack(rs))
-        dirs[seed] = d
+    # Narrow fov: 100 tiles x 3.6 deg of fresh yaw wrap the full
+    # circle like a motorized-mosaic capture.
+    images, k, rs = make_ring_captures(
+        n_images=n, hw=(h, w), fov_deg=8, overlap_ratio=0.55,
+        seed=31, texture_detail=True)
+    d_main = os.path.join(cache_root, f"mosaic{n}_{h}x{w}_s31")
+    if not os.path.isdir(d_main) or not os.path.exists(
+            os.path.join(d_main, "gt.npz")):
+        write_capture_dir(d_main, images, k, rs)
+        np.savez(os.path.join(d_main, "gt.npz"), k=k, rs=np.stack(rs))
+    d_warm = _noisy_twin_dir(cache_root, f"mosaic{n}_{h}x{w}_s31w",
+                             images, k, rs)
     run_dir = tempfile.mkdtemp(prefix="bench_mosaic_")
     os.chdir(run_dir)
     # Reference DEFAULTS (image_stitching.cpp:50-85): 4000 ORB features
@@ -386,9 +406,9 @@ def _bench_mosaic100():
     # BLOCKS cheap at mosaic scale.  range_width=3 stays (config 5 is the
     # BestOf2NearestRange scenario).
     cfg = StitchConfig(range_width=3, checkpoint_dir=run_dir)
-    stitch(dirs[32], cfg, output="")  # warm-up compiles
+    stitch(d_warm, cfg, output="")  # warm-up compiles, same shapes
     t0 = time.perf_counter()
-    res = stitch(dirs[31], cfg, output="")
+    res = stitch(d_main, cfg, output="")
     elapsed = time.perf_counter() - t0
     try:  # peak device memory (VERDICT r03 #4); absent on some backends
         import jax
@@ -399,7 +419,7 @@ def _bench_mosaic100():
                   file=sys.stderr)
     except Exception:
         pass
-    gt = np.load(os.path.join(dirs[31], "gt.npz"))
+    gt = np.load(os.path.join(d_main, "gt.npz"))
     reproj = _reproj_err_px(res.cameras, res.kept_indices,
                             gt["k"], gt["rs"], (h, w),
                             work_scale=res.work_scale)
