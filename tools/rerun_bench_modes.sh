@@ -18,11 +18,11 @@ for mode in "$@"; do
     python - "$mode" <<'EOF' >> "$OUT"
 import json, sys
 rec = json.load(open(f"/tmp/bench_{sys.argv[1]}.json"))
-rec["window"] = "post_orientation_fix"
+rec["window"] = __import__("os").environ.get("BENCH_WINDOW", "rerun")
 print(json.dumps(rec))
 EOF
   else
-    echo "{\"metric\": \"${mode}\", \"error\": \"exit ${rc}\", \"window\": \"rerun_post_orb_fix\"}" >> "$OUT"
+    echo "{\"metric\": \"${mode}\", \"error\": \"exit ${rc}\", \"window\": \"rerun-${BENCH_WINDOW:-rerun}\"}" >> "$OUT"
   fi
   echo "=== rerun $mode done rc=$rc $(date -u +%H:%M:%S) ===" >> /tmp/bench_modes.log
 done
