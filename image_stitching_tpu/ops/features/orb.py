@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...kernels.orb_sample_pallas import orb_sample_pallas, plane_admissible
 from ..imgproc import gaussian_blur, resize, scale_size
 from .types import Features
 
@@ -271,6 +272,11 @@ def _describe_impl(img_blur: jnp.ndarray, xy: jnp.ndarray,
         return jnp.take_along_axis(patches, yi * s + xi, axis=1)
 
     bits = (fetch(r1x, r1y) < fetch(r2x, r2y))     # (K, 256)
+    return _pack_bits(bits)
+
+
+def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
+    """(K, 256) bool -> (K, 8) uint32 descriptor words (LSB-first)."""
     k, n = bits.shape
     words = bits.reshape(k, n // 32, 32).astype(jnp.uint32)
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None]
@@ -298,11 +304,12 @@ def _per_level_counts(n_features: int, n_levels: int,
 @functools.partial(
     jax.jit,
     static_argnames=("n_features", "n_levels", "scale_factor", "patch_size",
-                     "fast_threshold", "base_hw", "pattern_span"))
+                     "fast_threshold", "base_hw", "pattern_span",
+                     "sample_kernel"))
 def _orb_impl(gray: jnp.ndarray, pattern: jnp.ndarray, *, n_features: int,
               n_levels: int, scale_factor: float, patch_size: int,
               fast_threshold: float, base_hw: Tuple[int, int],
-              pattern_span: int) -> Features:
+              pattern_span: int, sample_kernel: str = "off") -> Features:
     h, w = base_hw
     level_feats = []
     counts = _per_level_counts(n_features, n_levels, scale_factor)
@@ -375,10 +382,30 @@ def _orb_impl(gray: jnp.ndarray, pattern: jnp.ndarray, *, n_features: int,
         xy_l = jnp.stack([kxi.astype(jnp.float32) + dx,
                           kyi.astype(jnp.float32) + dy], -1)
 
-        angle = _orientations(img_l, xy_l, patch_size // 2)
-        img_blur = gaussian_blur(img_l, 2.0, 3)
-        desc = _describe_impl(img_blur, xy_l, angle, pattern,
-                              span=pattern_span)
+        # Per-keypoint sampling (IC-angle moments + rBRIEF reads): the
+        # fused Pallas kernel removes the patch gathers entirely when the
+        # level planes fit VMEM — 9.6 vs 56.6 ms/VGA image at K=4000 on
+        # v5e (tools/exp_orb_kernel_ab.py, composed-stack A/B).  Samples
+        # are bit-identical; the rotation uses the quotient form of the
+        # SAME moments, so a descriptor bit can flip only on an exact
+        # .5 rounding boundary (0 flips in the 2M-sample smoke).
+        if (sample_kernel != "off" and pattern.shape[0] == 256
+                and plane_admissible(lh, lw)):
+            pat_xy = jnp.stack(
+                [jnp.concatenate([pattern[:, 0], pattern[:, 2]]),
+                 jnp.concatenate([pattern[:, 1], pattern[:, 3]])])
+            img_blur = gaussian_blur(img_l, 2.0, 3)
+            samples, angle, _ = orb_sample_pallas(
+                img_l, img_blur, xy_l, pat_xy,
+                radius=patch_size // 2,
+                span=max(pattern_span, patch_size // 2),
+                interpret=(sample_kernel == "interpret"))
+            desc = _pack_bits(samples[:, :256] < samples[:, 256:])
+        else:
+            angle = _orientations(img_l, xy_l, patch_size // 2)
+            img_blur = gaussian_blur(img_l, 2.0, 3)
+            desc = _describe_impl(img_blur, xy_l, angle, pattern,
+                                  span=pattern_span)
 
         level_feats.append(Features(
             xy=xy_l * scale,
@@ -412,20 +439,32 @@ def _detect_chunk(h: int, w: int, n_features: int, span: int) -> int:
     return 1 << (c.bit_length() - 1)
 
 
+def _default_sample_kernel() -> str:
+    """Kernel-path default: on for the TPU backend unless STITCH_NO_PALLAS
+    opts out (same gate as the compose warp kernel)."""
+    if (os.environ.get("STITCH_NO_PALLAS", "0") != "1"
+            and jax.default_backend() == "tpu"):
+        return "pallas"
+    return "off"
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_features", "n_levels", "scale_factor", "patch_size",
-                     "fast_threshold", "base_hw", "pattern_span"))
+                     "fast_threshold", "base_hw", "pattern_span",
+                     "sample_kernel"))
 def _orb_stack_impl(grays, pattern, *, n_features: int, n_levels: int,
                     scale_factor: float, patch_size: int,
                     fast_threshold: float,
-                    base_hw: Tuple[int, int], pattern_span: int) -> Features:
+                    base_hw: Tuple[int, int], pattern_span: int,
+                    sample_kernel: str = "off") -> Features:
     def one(g):
         return _orb_impl(g, pattern, n_features=n_features,
                          n_levels=n_levels, scale_factor=scale_factor,
                          patch_size=patch_size,
                          fast_threshold=fast_threshold, base_hw=base_hw,
-                         pattern_span=pattern_span)
+                         pattern_span=pattern_span,
+                         sample_kernel=sample_kernel)
     # lax.map over vmapped chunks: one device program for the whole stack
     # (one dispatch instead of N host round trips), peak HBM bounded to a
     # chunk's working set, per-op dispatch overhead amortized over the
@@ -444,12 +483,15 @@ def _orb_stack_impl(grays, pattern, *, n_features: int, n_levels: int,
 def orb_detect_stack(grays, n_features: int = 4000,
                      scale_factor: float = 1.2, n_levels: int = 8,
                      patch_size: int = 40, fast_threshold: float = 20.0,
-                     pattern: np.ndarray = None) -> Features:
+                     pattern: np.ndarray = None,
+                     sample_kernel: str = None) -> Features:
     """Detect + describe a uniform image stack in one device program.
 
     `grays` is (N, H, W); returns batched `Features` with leading axis N.
     Replaces the reference's per-image detect loop
     (`image_stitching.cpp:567-622`) with a single dispatch.
+    `sample_kernel`: "pallas" | "interpret" | "off" — per-keypoint
+    sampling path; default picks "pallas" on the TPU backend.
     """
     pattern = resolve_pattern(pattern, patch_size)
     grays = jnp.asarray(grays)
@@ -458,14 +500,16 @@ def orb_detect_stack(grays, n_features: int = 4000,
         n_levels=n_levels, scale_factor=scale_factor, patch_size=patch_size,
         fast_threshold=fast_threshold,
         base_hw=(grays.shape[1], grays.shape[2]),
-        pattern_span=_pattern_span(pattern))
+        pattern_span=_pattern_span(pattern),
+        sample_kernel=sample_kernel or _default_sample_kernel())
 
 
 def orb_detect_and_describe(gray, n_features: int = 4000,
                             scale_factor: float = 1.2, n_levels: int = 8,
                             patch_size: int = 40,
                             fast_threshold: float = 20.0,
-                            pattern: np.ndarray = None) -> Features:
+                            pattern: np.ndarray = None,
+                            sample_kernel: str = None) -> Features:
     """Detect + describe; returns a `Features` with exactly `n_features`
     masked slots.  `gray` is (H, W) float32/uint8."""
     pattern = resolve_pattern(pattern, patch_size)
@@ -475,4 +519,5 @@ def orb_detect_and_describe(gray, n_features: int = 4000,
         n_levels=n_levels, scale_factor=scale_factor, patch_size=patch_size,
         fast_threshold=fast_threshold,
         base_hw=(gray.shape[0], gray.shape[1]),
-        pattern_span=_pattern_span(pattern))
+        pattern_span=_pattern_span(pattern),
+        sample_kernel=sample_kernel or _default_sample_kernel())
