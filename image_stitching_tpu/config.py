@@ -101,6 +101,12 @@ class StitchConfig:
     use_sharded_compose: bool = False  # shard the compose canvas over the
                                      # mesh 'sp' axis (gigapixel mode;
                                      # needs >1 device, MULTI_BAND/NO blend)
+    compose_strips_mp: float = 96.0  # canvas size (MP) above which the
+                                     # single-chip compose streams the
+                                     # canvas in vertical strips (bounded
+                                     # HBM: gigapixel canvases; <=0 never)
+    compose_strip_w: int = 4096      # strip interior width (px) for the
+                                     # streaming compose
     fast_ingest: bool = True         # luma-only + DCT-scaled native JPEG
                                      # decode on background threads (falls
                                      # back to the legacy full-RGB loop for

@@ -37,7 +37,8 @@ from ..ops.imgproc import dilate3
 from ..ops.pyr_mat import pyr_down_mm, pyr_up_mm
 from ..ops.warps import PROJECTIONS, Warper, _backward_xy, result_roi
 
-__all__ = ["fused_compose", "fused_compose_sharded"]
+__all__ = ["fused_compose", "fused_compose_sharded",
+           "fused_compose_strips"]
 
 
 def _patch_bilinear(img, sx, sy):
@@ -233,6 +234,10 @@ def _warp_gain_seam(img, k, r, us, vs, scale, smask, stl, seam_ratio,
     falls back to the gather via lax.cond when the warp is too steep —
     correctness never depends on the kernel geometry."""
     hc, wc = img.shape[0], img.shape[1]
+    # Accept u8 source stacks (the strips path keeps the full image stack
+    # u8 in HBM — 4x smaller); no-op for the f32 stacks fused_compose
+    # already uploads.
+    img = img.astype(jnp.float32)
     uu, vv = jnp.meshgrid(us, vs)
     sx, sy, valid = _backward_xy(proj_bwd, uu, vv, k, r, scale)
 
@@ -491,6 +496,25 @@ def _fused_compose_impl(images, ks, rs, scale, tls, canvas_tl,
     return _finalize_impl(accs, n_bands=n_bands)
 
 
+def _blend_params(canvas, blend_type: BlenderType, blend_strength: float):
+    """Shared blend-mode resolution: (n_bands, feather_sharpness,
+    feather_rounds) for the fused / sharded / strips compose paths.
+    Multi-band keeps its band count from the canvas + strength formula
+    (`image_stitching.cpp:1113-1120` via MultiBandBlender); FEATHER and NO
+    collapse to the 0-band accumulator (feather adds the in-program
+    L1-EDT weight map, cv2 createWeightMap semantics)."""
+    n_bands, blend_width = num_bands_for(canvas, blend_strength)
+    feather_sharpness = 0.0
+    feather_rounds = 0
+    if blend_type == BlenderType.NO or blend_width < 1.0:
+        n_bands = 0
+    elif blend_type == BlenderType.FEATHER:
+        n_bands = 0
+        feather_sharpness = 1.0 / blend_width
+        feather_rounds = max(1, int(np.ceil(np.log2(blend_width + 1))))
+    return n_bands, feather_sharpness, feather_rounds
+
+
 def _prep_gains(compensator, n: int, comp_corners, comp_sizes):
     """Exposure-compensator state -> (gain_mode, gains, gain_grids,
     gain_rois) ready for the fused/sharded compose programs.  gain_rois
@@ -536,20 +560,13 @@ def fused_compose(images: jnp.ndarray, ks: np.ndarray, rs: np.ndarray,
     download.  Returns (panorama float32 (H, W, 3), mask bool)."""
     n = images.shape[0]
     canvas = result_roi(comp_corners, comp_sizes)
-    n_bands, blend_width = num_bands_for(canvas, blend_strength)
-    feather_sharpness = 0.0
-    feather_rounds = 0
-    if blend_type == BlenderType.NO or blend_width < 1.0:
-        n_bands = 0
-    elif blend_type == BlenderType.FEATHER:
-        # Exact FeatherBlender semantics in-program: n_bands=0 turns the
-        # accumulator into sum(img*w)/sum(w), with w the clipped L1-EDT
-        # weight map (cv2 createWeightMap, sharpness = 1/blend_width).
-        # Doubling rounds only need to cover d < blend_width (weights
-        # clip at 1 beyond).
-        n_bands = 0
-        feather_sharpness = 1.0 / blend_width
-        feather_rounds = max(1, int(np.ceil(np.log2(blend_width + 1))))
+    # FEATHER here = exact FeatherBlender semantics in-program: n_bands=0
+    # turns the accumulator into sum(img*w)/sum(w), with w the clipped
+    # L1-EDT weight map (cv2 createWeightMap, sharpness = 1/blend_width);
+    # doubling rounds only need to cover d < blend_width (weights clip at
+    # 1 beyond).
+    n_bands, feather_sharpness, feather_rounds = _blend_params(
+        canvas, blend_type, blend_strength)
     step = 1 << max(n_bands, 1)
     cx, cy, cw, ch = canvas
     # Static program dims: snap the padded canvas to a coarse quantum
@@ -787,16 +804,8 @@ def fused_compose_sharded(mesh, images: jnp.ndarray, ks: np.ndarray,
     """
     n = images.shape[0]
     canvas = result_roi(comp_corners, comp_sizes)
-    n_bands, blend_width = num_bands_for(canvas, blend_strength)
-    feather_sharpness = 0.0
-    feather_rounds = 0
-    if blend_type == BlenderType.NO or blend_width < 1.0:
-        n_bands = 0
-    elif blend_type == BlenderType.FEATHER:
-        # Exact in-program feather, same as fused_compose.
-        n_bands = 0
-        feather_sharpness = 1.0 / blend_width
-        feather_rounds = max(1, int(np.ceil(np.log2(blend_width + 1))))
+    n_bands, feather_sharpness, feather_rounds = _blend_params(
+        canvas, blend_type, blend_strength)
     n_dev = mesh.shape[axis]
     step = 1 << max(n_bands, 1)
     unit = n_dev * step
@@ -837,3 +846,187 @@ def fused_compose_sharded(mesh, images: jnp.ndarray, ks: np.ndarray,
     pano = np.asarray(pano)[:ch, :cw].astype(np.float32)
     mask = np.asarray(mask)[:ch, :cw]
     return pano, mask
+
+
+# --------------------------------------------------------------------------
+# Canvas-strip streaming compositing (single chip, gigapixel canvases).
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_bands", "margin", "strip_w"))
+def _finalize_strip_impl(accs, *, n_bands: int, margin: int, strip_w: int):
+    """Finalize one strip's accumulators and keep only the interior
+    columns (the recompute margin is discarded); the validity mask rides
+    bit-packed (8x fewer d2h bytes through the tunnel)."""
+    from ..core.transfer import pack_mask_bits
+    out_u8, valid = _finalize_impl(accs, n_bands=n_bands)
+    return (out_u8[:, margin:margin + strip_w],
+            pack_mask_bits(valid[:, margin:margin + strip_w]))
+
+
+def fused_compose_strips(images, ks: np.ndarray, rs: np.ndarray,
+                         warper: Warper, comp_corners, comp_sizes,
+                         seam_masks, seam_corners, seam_ratio: float,
+                         compensator, blend_type: BlenderType,
+                         blend_strength: float, *, strip_w: int = 2048,
+                         out=None, out_dtype=np.float32):
+    """Streaming `fused_compose` for canvases too large for whole-canvas
+    band accumulators: HBM only ever holds ONE vertical canvas strip's
+    pyramids (plus the u8 source stack), so a 16 GB chip composes
+    gigapixel panoramas (BASELINE config 5 at the scale the name claims;
+    the reference's blender accumulates an unbounded global canvas,
+    `image_stitching.cpp:1173-1229` — this is the bounded-memory TPU
+    replacement).
+
+    Strategy: the canvas splits into `strip_w`-wide vertical strips, each
+    composed by the SAME `_accumulate_impl` scan the single-program path
+    uses — per-image rects are clipped to the strip extent plus a
+    recomputed `margin` of 3*2^n_bands columns (feather: 2^rounds), so
+    the Laplacian/EDT never sees a strip boundary and interior columns
+    match `fused_compose` to pyramid-boundary tolerance.  Every strip
+    program is dispatched before any download starts (device compute
+    overlaps the slow tunnel downloads); each strip fetches once, u8 +
+    bit-packed mask.
+
+    images: (N, hc, wc, 3) array — u8 device stacks are composed as-is
+    (no f32 blow-up in HBM).  `out` (optional): preallocated (>=ch, >=cw,
+    3) host array (e.g. np.memmap) the panorama is written into.
+    Returns (panorama `out_dtype` (H, W, 3), mask bool) like
+    fused_compose.
+    """
+    n = images.shape[0]
+    canvas = result_roi(comp_corners, comp_sizes)
+    n_bands, feather_sharpness, feather_rounds = _blend_params(
+        canvas, blend_type, blend_strength)
+    step = 1 << max(n_bands, 1)
+    band = 1 << n_bands
+    # Strip geometry: interior width multiple of the band step; margin a
+    # band multiple >= the pyramid receptive gap (and the feather EDT
+    # reach — same widening as the sharded path).
+    strip_w = max(-(-strip_w // step) * step, step)
+    margin = 3 * band
+    if feather_sharpness > 0.0:
+        margin = max(margin, 1 << feather_rounds)
+    margin = -(-margin // band) * band
+    w_ext = strip_w + 2 * margin
+    cx, cy, cw, ch = canvas
+    n_strips = -(-cw // strip_w)
+    canvas_w = n_strips * strip_w
+    quant = max(step, 64)
+    canvas_h = -(-ch // quant) * quant
+
+    # Global per-image rects: identical bookkeeping to fused_compose.
+    gap = 3 * band
+    tls, brs = [], []
+    for i in range(n):
+        tlx = max(cx, comp_corners[i][0] - gap)
+        tly = max(cy, comp_corners[i][1] - gap)
+        brx = min(cx + canvas_w,
+                  comp_corners[i][0] + comp_sizes[i][0] + gap)
+        bry = min(cy + canvas_h,
+                  comp_corners[i][1] + comp_sizes[i][1] + gap)
+        tlx = cx + (((tlx - cx) >> n_bands) << n_bands)
+        tly = cy + (((tly - cy) >> n_bands) << n_bands)
+        tls.append((tlx, tly))
+        brs.append((brx, bry))
+
+    smask_d, _, _ = _prep_seam_masks(seam_masks, n)
+    gain_mode, gains, gain_grids, gain_rois = _prep_gains(
+        compensator, n, comp_corners, comp_sizes)
+
+    hc_p = max(-(-images.shape[1] // 8) * 8, 24)
+    wc_p = max(-(-images.shape[2] // 128) * 128, 384)
+    use_pallas = (os.environ.get("STITCH_NO_PALLAS", "0") != "1"
+                  and jax.default_backend() == "tpu"
+                  and hc_p * wc_p * 4 <= 12 * 2 ** 20)
+
+    from ..ops.seams import bucket_dim
+    pad_step = max(step, 128)
+
+    def _bdim(v, cap):
+        v = -(-bucket_dim(v) // pad_step) * pad_step
+        return min(v, cap)
+
+    images_d = jnp.asarray(images)       # u8 stays u8 (cast per image)
+    ks_all = np.asarray(ks, np.float32)
+    rs_all = np.asarray(rs, np.float32)
+    stl_all = np.asarray(seam_corners, np.float32)
+    ggrid_all = np.asarray(gain_grids, np.float32)
+    groi_all = np.asarray(gain_rois, np.float32)
+    gains_d = jnp.asarray(gains)
+    scale_d = jnp.float32(warper.scale)
+    ratio_d = jnp.float32(seam_ratio)
+
+    prof = bool(os.environ.get("STITCH_PROF_COMPOSE"))
+    import time as _time
+    t0 = _time.perf_counter()
+    pending = []
+    for s in range(n_strips):
+        x0_ext = cx + s * strip_w - margin
+        x1_ext = x0_ext + w_ext
+        # Per-strip rect clip: bucket (pow2-padded counts) exactly like
+        # fused_compose so the scan program compiles once per distinct
+        # (rect dims, count) across ALL strips of a capture geometry.
+        buckets = {}
+        entries = {}
+        for i in range(n):
+            cl_tlx = max(tls[i][0], x0_ext)
+            cl_brx = min(brs[i][0], x1_ext)
+            if cl_brx - cl_tlx <= 0:
+                continue
+            bw_i = _bdim(cl_brx - cl_tlx, w_ext)
+            bh_i = _bdim(brs[i][1] - tls[i][1], canvas_h)
+            tlx2 = min(cl_tlx, x1_ext - bw_i)
+            tly2 = min(tls[i][1], cy + canvas_h - bh_i)
+            buckets.setdefault((bh_i, bw_i), []).append(i)
+            entries[i] = (tlx2, tly2)
+        accs = _init_accs(int(canvas_h), int(w_ext), int(n_bands))
+        canvas_tl_d = jnp.asarray(
+            np.asarray([x0_ext, cy], np.float32))
+        for (bh_i, bw_i), idxs in sorted(buckets.items()):
+            cnt = len(idxs)
+            pad_cnt = 1 << (cnt - 1).bit_length() if cnt > 1 else 1
+            sel = np.asarray(idxs + [idxs[0]] * (pad_cnt - cnt))
+            tls_b = np.asarray([entries[i] for i in sel], np.float32)
+            stl_b = stl_all[sel].copy()
+            # Dummy slots re-use image idxs[0] but point their seam-mask
+            # corner far away: the separable seam sample then returns 0
+            # everywhere -> blend weight exactly 0 -> zero contribution
+            # (feather too: hard=0 kills the EDT weight).
+            if pad_cnt > cnt:
+                stl_b[cnt:] = 1e9
+            accs = _accumulate_impl(
+                accs, images_d, jnp.asarray(sel, jnp.int32),
+                jnp.asarray(ks_all[sel]), jnp.asarray(rs_all[sel]),
+                scale_d, jnp.asarray(tls_b), canvas_tl_d, smask_d,
+                jnp.asarray(stl_b), ratio_d, gains_d,
+                jnp.asarray(ggrid_all[sel]), jnp.asarray(groi_all[sel]),
+                proj_name=warper.proj_name, pad_h=int(bh_i),
+                pad_w=int(bw_i), n_bands=int(n_bands),
+                gain_mode=gain_mode, use_pallas=use_pallas,
+                feather_sharpness=float(feather_sharpness),
+                feather_rounds=int(feather_rounds))
+        pending.append(_finalize_strip_impl(
+            accs, n_bands=int(n_bands), margin=int(margin),
+            strip_w=int(strip_w)))
+    if prof:
+        print(f"# strips.dispatch: {_time.perf_counter() - t0:.3f}s "
+              f"({n_strips} strips x {strip_w}, canvas {canvas_h}x"
+              f"{canvas_w}, bands {n_bands}, n {n})", file=sys.stderr)
+        t0 = _time.perf_counter()
+
+    from ..core.transfer import fetch_tree, unpack_mask_bits
+    if out is None:
+        out = np.empty((ch, cw, 3), out_dtype)
+    mask = np.empty((ch, cw), bool)
+    for s, dev in enumerate(pending):
+        strip_u8, bits = fetch_tree(dev)
+        x0 = s * strip_w
+        wv = min(strip_w, cw - x0)     # last strip may exceed cw
+        out[:ch, x0:x0 + wv] = strip_u8[:ch, :wv]
+        mask[:, x0:x0 + wv] = \
+            unpack_mask_bits(bits, int(strip_w))[:ch, :wv] > 0
+    if prof:
+        print(f"# strips.fetch: {_time.perf_counter() - t0:.3f}s",
+              file=sys.stderr)
+    return out, mask

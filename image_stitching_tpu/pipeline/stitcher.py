@@ -619,6 +619,9 @@ def _stitch_body(source, cfg: StitchConfig,
                 comp_imgs = jax.vmap(lambda im: resize(im, chw))(src_stack)
             else:
                 comp_imgs = src_stack
+            from ..ops.warps import result_roi
+            canvas_mp = (lambda c: c[2] * c[3] / 1e6)(
+                result_roi(comp_corners, comp_sizes))
             if cfg.use_sharded_compose and jax.device_count() > 1:
                 # Gigapixel mode: shard the compose canvas over the 'sp'
                 # axis of a (1, n_devices) mesh (SURVEY.md section 5).
@@ -629,6 +632,18 @@ def _stitch_body(source, cfg: StitchConfig,
                     mesh, comp_imgs, kc_all, r_all, warper, comp_corners,
                     comp_sizes, seam_masks, corners, seam_ratio,
                     compensator, cfg.blend_type, cfg.blend_strength)
+            elif (cfg.compose_strips_mp > 0
+                  and canvas_mp >= cfg.compose_strips_mp):
+                # Gigapixel canvas on a single chip: stream vertical
+                # canvas strips so HBM holds one strip's pyramids, never
+                # the whole canvas (the reference's blender grows an
+                # unbounded global canvas, image_stitching.cpp:1173-1229).
+                from .compose_fused import fused_compose_strips
+                pano, pano_mask = fused_compose_strips(
+                    comp_imgs, kc_all, r_all, warper, comp_corners,
+                    comp_sizes, seam_masks, corners, seam_ratio,
+                    compensator, cfg.blend_type, cfg.blend_strength,
+                    strip_w=cfg.compose_strip_w)
             else:
                 pano, pano_mask = fused_compose(
                     comp_imgs, kc_all, r_all, warper, comp_corners,

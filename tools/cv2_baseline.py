@@ -43,9 +43,16 @@ def _features(imgs, n_features):
     return [cv2.detail.computeImageFeatures2(orb, im) for im in imgs]
 
 
+def _make_matcher(match_conf, range_width):
+    if range_width > 0:
+        return cv2.detail_BestOf2NearestRangeMatcher(range_width, False,
+                                                     match_conf)
+    return cv2.detail_BestOf2NearestMatcher(False, match_conf)
+
+
 def _stitch_cv2(images, warp_type, blend_type, n_features=1500,
                 match_conf=0.32, conf_thresh=0.95, seam_megapix=0.1,
-                compose_megapix=0.4, work_megapix=1.9):
+                compose_megapix=0.4, work_megapix=1.9, range_width=-1):
     """The reference pipeline via cv::detail; returns (pano, stage_times)."""
     t = {}
 
@@ -69,7 +76,7 @@ def _stitch_cv2(images, warp_type, blend_type, n_features=1500,
     feats = _features(work_imgs, n_features)
     t0 = timer("features", t0)
 
-    matcher = cv2.detail_BestOf2NearestMatcher(False, match_conf)
+    matcher = _make_matcher(match_conf, range_width)
     pairwise = matcher.apply2(feats)
     matcher.collectGarbage()
     t0 = timer("matching", t0)
@@ -84,6 +91,7 @@ def _stitch_cv2(images, warp_type, blend_type, n_features=1500,
         # kept subset; count it as matching time.
         feats = [feats[i] for i in kept]
         t0 = time.perf_counter()
+        matcher = _make_matcher(match_conf, range_width)
         pairwise = matcher.apply2(feats)
         matcher.collectGarbage()
         t["matching"] += time.perf_counter() - t0
@@ -202,7 +210,8 @@ def _load_bench_dir(d):
 
 def _ensure_bench_dirs(mode):
     """Reuse bench.py's cached synthetic capture dirs (same content)."""
-    from image_stitching_tpu.data.synth import (make_ring_captures,
+    from image_stitching_tpu.data.synth import (make_rig_captures,
+                                                make_ring_captures,
                                                 write_capture_dir)
     cache_root = os.path.expanduser("~/.cache/stitch_bench")
     specs = {
@@ -216,12 +225,23 @@ def _ensure_bench_dirs(mode):
                       dict(n_images=2, hw=(480, 640), fov_deg=55,
                            overlap_ratio=0.5, seed=100 + s))
                      for s in range(1, 6)],
+        # The reference's flagship 5-ring 37-image rig and the 100-tile
+        # mosaic (bench.py rig37 / mosaic100 modes, SAME capture content).
+        "rig37": [("rig37_960x1280_s21",
+                   dict(_rig=True, hw=(960, 1280), seed=21))],
+        "mosaic100": [("mosaic100_480x640_s31",
+                       dict(n_images=100, hw=(480, 640), fov_deg=8,
+                            overlap_ratio=0.55, seed=31,
+                            texture_detail=True))],
     }[mode]
     dirs = []
     for name, kw in specs:
         d = os.path.join(cache_root, name)
         if not os.path.isdir(d):
-            images, k, rs = make_ring_captures(**kw)
+            if kw.pop("_rig", False):
+                images, k, rs = make_rig_captures(**kw)
+            else:
+                images, k, rs = make_ring_captures(**kw)
             write_capture_dir(d, images, k, rs)
         dirs.append(d)
     return dirs
@@ -234,6 +254,17 @@ def run_mode(mode):
         "cyl4": dict(warp_type="cylindrical", blend_type="multiband"),
         "vga_pair": dict(warp_type="spherical", blend_type="feather",
                          work_megapix=-1, compose_megapix=-1),
+        # bench.py::_bench_rig37 — StitchConfig(num_features=1000)
+        # defaults: full-res work scale, spherical, multiband, DP seam.
+        # Documented delta: no EXIF priors through cv2 (HomographyBased
+        # estimator seeds instead — the reference's own no-prior path).
+        "rig37": dict(warp_type="spherical", blend_type="multiband",
+                      n_features=1000, work_megapix=-1),
+        # bench.py::_bench_mosaic100 — FULL reference defaults: 4000
+        # features, GAIN_BLOCKS, BestOf2NearestRange(3).
+        "mosaic100": dict(warp_type="spherical", blend_type="multiband",
+                          n_features=4000, work_megapix=-1,
+                          range_width=3),
     }[mode]
     lats, stages, mps = [], {}, []
     kept_n = 0
@@ -265,6 +296,8 @@ def run_mode(mode):
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    modes = ["vga_pair", "cyl4", "e2e"] if which == "all" else [which]
+    modes = (["vga_pair", "cyl4", "e2e", "rig37", "mosaic100"]
+             if which == "all" else [which])
     for m in modes:
         print(json.dumps(run_mode(m)))
+        sys.stdout.flush()
