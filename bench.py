@@ -442,6 +442,62 @@ def _bench_mosaic100():
     }
 
 
+def _bench_spher16():
+    """BASELINE config 3 at its LITERAL shape: 16-image 12 MP spherical
+    panorama, multi-band blend, cropper auto-crop — run at FULL reference
+    defaults (4000 features, full-res registration, GAIN_BLOCKS, DP seam,
+    compose_megapix 0.4, `image_stitching.cpp:50-85`) plus
+    crop_result=True (the reference's dangling cropper API, SURVEY 3.5).
+    The 12 MP work planes exceed the VMEM-resident ORB kernel budget, so
+    this is also the shape that exercises the HBM-streaming sample
+    kernel on level 0."""
+    from image_stitching_tpu.config import StitchConfig
+    from image_stitching_tpu.data.synth import (make_ring_captures,
+                                                write_capture_dir)
+    from image_stitching_tpu.pipeline.stitcher import stitch
+
+    n_images, h, w = 16, 3000, 4000
+    cache_root = os.path.expanduser("~/.cache/stitch_bench")
+    images, k, rs = make_ring_captures(
+        n_images=n_images, hw=(h, w), fov_deg=55, overlap_ratio=0.45,
+        seed=41)
+    d_main = os.path.join(cache_root, f"spher16_{h}x{w}_s41")
+    if not os.path.isdir(d_main) or not os.path.exists(
+            os.path.join(d_main, "gt.npz")):
+        write_capture_dir(d_main, images, k, rs)
+        np.savez(os.path.join(d_main, "gt.npz"), k=k, rs=np.stack(rs))
+    d_warm = _noisy_twin_dir(cache_root, f"spher16_{h}x{w}_s41w",
+                             images, k, rs)
+    del images
+    run_dir = tempfile.mkdtemp(prefix="bench_spher16_")
+    os.chdir(run_dir)
+    cfg = StitchConfig(crop_result=True, checkpoint_dir=run_dir)
+    stitch(d_warm, cfg, output="")  # warm-up compiles, same shapes
+    t0 = time.perf_counter()
+    res = stitch(d_main, cfg, output="")
+    elapsed = time.perf_counter() - t0
+    gt = np.load(os.path.join(d_main, "gt.npz"))
+    reproj = _reproj_err_px(res.cameras, res.kept_indices,
+                            gt["k"], gt["rs"], (h, w),
+                            work_scale=res.work_scale)
+    mp = len(res.kept_indices) * h * w / 1e6
+    value = mp / elapsed
+    print(f"# spher16: kept {len(res.kept_indices)}/{n_images}, "
+          f"{elapsed:.2f}s, cropped pano {res.panorama.shape}, reproj "
+          f"{reproj:.3f} px, stages: " +
+          ", ".join(f"{k2}={v:.2f}s" for k2, v in res.stage_times.items()),
+          file=sys.stderr)
+    return {
+        "metric": "spherical16x12mp_stitch_throughput",
+        "value": round(value, 3),
+        "unit": "MP/s/chip",
+        "vs_baseline": round(value / NORTH_STAR, 3),
+        "reproj_err_px": round(reproj, 3),
+        "kept": len(res.kept_indices),
+        "cropped_hw": list(res.panorama.shape[:2]),
+    }
+
+
 def _pair_latency_ms(n_feat=1500, trials=20):
     """p50 latency of one full pair registration (detect+match+RANSAC)."""
     import jax
@@ -728,7 +784,7 @@ def main():
           "gigapixel": _bench_gigapixel, "gp_sharded": _bench_gp_sharded,
           "vga_pair": _bench_vga_pair,
           "cyl4": _bench_cyl4, "rig37": _bench_rig37,
-          "mosaic100": _bench_mosaic100}[mode]
+          "mosaic100": _bench_mosaic100, "spher16": _bench_spher16}[mode]
     print(json.dumps(fn()))
     return 0
 

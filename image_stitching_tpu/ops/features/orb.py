@@ -40,6 +40,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...kernels.orb_sample_pallas import orb_sample_pallas, plane_admissible
+from ...kernels.orb_stream_pallas import (orb_sample_stream_pallas,
+                                          plane_stream_admissible)
 from ..imgproc import gaussian_blur, resize, scale_size
 from .types import Features
 
@@ -389,13 +391,27 @@ def _orb_impl(gray: jnp.ndarray, pattern: jnp.ndarray, *, n_features: int,
         # are bit-identical; the rotation uses the quotient form of the
         # SAME moments, so a descriptor bit can flip only on an exact
         # .5 rounding boundary (0 flips in the 2M-sample smoke).
-        if (sample_kernel != "off" and pattern.shape[0] == 256
-                and plane_admissible(lh, lw)):
+        # Planes beyond the VMEM-resident budget (level 0 of the
+        # full-res reference-default work images, VERDICT r04 weak #3)
+        # take the HBM-streaming variant: same one-hot matmul math,
+        # per-keypoint windows DMA'd into VMEM scratch.
+        kernel_fn = None
+        if sample_kernel != "off" and pattern.shape[0] == 256:
+            if plane_admissible(lh, lw):
+                kernel_fn = orb_sample_pallas
+            elif plane_stream_admissible(lh, lw):
+                kernel_fn = orb_sample_stream_pallas
+            else:
+                import logging
+                logging.getLogger("image_stitching_tpu").info(
+                    "ORB sample kernel fallback to XLA path: level %d "
+                    "plane %dx%d exceeds the stream budget", level, lh, lw)
+        if kernel_fn is not None:
             pat_xy = jnp.stack(
                 [jnp.concatenate([pattern[:, 0], pattern[:, 2]]),
                  jnp.concatenate([pattern[:, 1], pattern[:, 3]])])
             img_blur = gaussian_blur(img_l, 2.0, 3)
-            samples, angle, _ = orb_sample_pallas(
+            samples, angle, _ = kernel_fn(
                 img_l, img_blur, xy_l, pat_xy,
                 radius=patch_size // 2,
                 span=max(pattern_span, patch_size // 2),
