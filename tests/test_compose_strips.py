@@ -115,6 +115,48 @@ def test_strips_uint8_stack_and_out_buffer():
     assert float(np.mean(diff)) < 1.0, float(np.mean(diff))
 
 
+def test_strips_grid_mosaic_geometry():
+    """2-D (yaw x pitch) tile grid — the gigapixel bench geometry at toy
+    scale: straddling rects in both axes, every strip a different
+    subset, GAIN exposure engaged."""
+    from image_stitching_tpu.ops.exposure import ExposureCompensator
+    from image_stitching_tpu.config import ExposureCompensatorType as EC
+
+    rows, cols, h, w, focal = 2, 4, 40, 56, 180.0
+    n = rows * cols
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[:h, :w].astype(np.float32)
+    imgs = np.stack([
+        np.clip(np.stack([50 + xx + 7 * i, 60 + yy, 80 + 0.2 * xx], -1)
+                + rng.uniform(-2, 2, (h, w, 3)), 0, 255)
+        for i in range(n)]).astype(np.float32)
+    k = np.tile(np.array([[focal, 0, w / 2], [0, focal, h / 2],
+                          [0, 0, 1]], np.float32), (n, 1, 1))
+    ys = (w / focal) * 0.75
+    ps = (h / focal) * 0.75
+    rs = np.stack([
+        (R.from_euler("y", ys * (c - (cols - 1) / 2))
+         * R.from_euler("x", ps * (r - (rows - 1) / 2))
+         ).as_matrix().astype(np.float32)
+        for r in range(rows) for c in range(cols)])
+    warper = make_warper("spherical", focal)
+    corners, sizes = _rois(warper, n, h, w, k, rs)
+    seam_masks = [np.full((sizes[i][1], sizes[i][0]), 255, np.uint8)
+                  for i in range(n)]
+    comp = ExposureCompensator(
+        comp_type=EC.GAIN,
+        gains=np.linspace(0.8, 1.2, n).astype(np.float32),
+        grid_sizes=np.ones((n, 2), np.int32))
+    args = (jnp.asarray(imgs), k, rs, warper, corners, sizes,
+            seam_masks, corners, 1.0, comp, BlenderType.MULTI_BAND, 5.0)
+    pano1, m1 = fused_compose(*args)
+    pano2, m2 = fused_compose_strips(*args, strip_w=64)
+    assert np.array_equal(m1, m2)
+    diff = np.abs(pano2 - pano1)[m1]
+    assert float(np.mean(diff)) < 0.5, float(np.mean(diff))
+    assert float(np.percentile(diff, 99)) <= 2.0
+
+
 def test_strips_narrow_tiles_wide_canvas():
     """Many narrow tiles over a wide canvas (mosaic100-like geometry):
     every strip sees a different image subset."""
