@@ -631,16 +631,27 @@ def _bench_gigapixel():
     seam_sizes = [(r_[2], r_[3]) for r_ in srois]
 
     def make_tiles(seed):
+        # Chunked generation: one (n, h, w, 3) f32 uniform draw is 5.4 GB
+        # of transient HBM (the first run OOM'd the timed pass on a
+        # fragmented heap); 48-tile chunks keep the peak under 2 GB.
         key = jax.random.PRNGKey(seed)
-        t = jax.random.randint(key, (n, h, w, 3), 0, 256, jnp.int32)
-        # Per-tile brightness ramp: gives GAIN_BLOCKS real work.
-        gain = (0.75 + 0.5 * jnp.cos(jnp.arange(n) * 0.37))[:, None,
-                                                            None, None]
-        return jnp.clip(t * gain, 0, 255).astype(jnp.uint8)
+        gain = 0.75 + 0.5 * np.cos(np.arange(n) * 0.37)
+        chunks = []
+        csz = 48
+        for c0 in range(0, n, csz):
+            m = min(csz, n - c0)
+            t = jax.random.uniform(jax.random.fold_in(key, c0),
+                                   (m, h, w, 3), jnp.float32, 0.0, 256.0)
+            g = jnp.asarray(gain[c0:c0 + m, None, None, None], jnp.float32)
+            chunks.append(jnp.clip(t * g, 0, 255).astype(jnp.uint8))
+        return jnp.concatenate(chunks)
 
     def prep(tiles):
         t0 = time.perf_counter()
-        seam_tiles = jax.vmap(lambda im: resize(im, (sh, sw)))(tiles)
+        # batch_size-chunked: a full vmap casts the whole u8 stack to f32
+        # (5.4 GB transient).
+        seam_tiles = jax.lax.map(lambda im: resize(im, (sh, sw)),
+                                 tiles, batch_size=16)
         iw_pad, mw_pad = _warp_stack(
             seam_tiles, jnp.asarray(k_seam), jnp.asarray(rs),
             jnp.float32(warper_s.scale),
@@ -682,7 +693,9 @@ def _bench_gigapixel():
     pano, mask, tc = compose(tiles, comp, seam_masks)
     print(f"# warm pass: exposure {te:.2f}s seams {ts:.2f}s "
           f"compose {tc:.2f}s", file=sys.stderr)
-    # Timed pass.
+    # Timed pass (drop every warm-pass reference first: the tile stack
+    # and canvas are GB-scale and the timed pass re-allocates its own).
+    tiles = comp = seam_masks = pano = mask = None
     tiles = make_tiles(2)
     t_all0 = time.perf_counter()
     comp, seam_masks, te, ts = prep(tiles)
