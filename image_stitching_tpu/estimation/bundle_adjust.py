@@ -107,15 +107,29 @@ def pack_correspondences(feats, pair_matches, conf_thresh: float,
     )
 
 
-def _params_from_cameras(cams: Cameras) -> jnp.ndarray:
-    rvec = matrix_to_rodrigues(jnp.asarray(cams.R, jnp.float32))
+@jax.jit
+def _params_from_arrays(r, focal, ppx, ppy, aspect) -> jnp.ndarray:
+    # ONE jitted program: eager op-by-op execution of the ~40 tiny jnp
+    # ops in matrix_to_rodrigues costs ~170 ms of per-dispatch tunnel
+    # latency on axon (measured, tools/vga_census.py r05) vs ~0 jitted.
+    rvec = matrix_to_rodrigues(r.astype(jnp.float32))
     return jnp.concatenate([
-        jnp.asarray(cams.focal, jnp.float32)[:, None],
-        jnp.asarray(cams.ppx, jnp.float32)[:, None],
-        jnp.asarray(cams.ppy, jnp.float32)[:, None],
-        jnp.asarray(cams.aspect, jnp.float32)[:, None],
+        focal.astype(jnp.float32)[:, None],
+        ppx.astype(jnp.float32)[:, None],
+        ppy.astype(jnp.float32)[:, None],
+        aspect.astype(jnp.float32)[:, None],
         rvec,
     ], axis=1)  # (N, 7)
+
+
+def _params_from_cameras(cams: Cameras) -> jnp.ndarray:
+    return _params_from_arrays(
+        jnp.asarray(cams.R), jnp.asarray(cams.focal),
+        jnp.asarray(cams.ppx), jnp.asarray(cams.ppy),
+        jnp.asarray(cams.aspect))
+
+
+_rodrigues_to_matrix_jit = jax.jit(rodrigues_to_matrix)
 
 
 def _cameras_from_params(params: jnp.ndarray, template: Cameras) -> Cameras:
@@ -470,7 +484,7 @@ def bundle_adjust(cams: Cameras, problem: Optional[BAProblem],
     # sync (~0.16 s of unattributed wall per stitch at VGA scale).
     from ..core.transfer import fetch_tree
     p_host, r_host = fetch_tree(
-        (params, rodrigues_to_matrix(params[:, 4:7])))
+        (params, _rodrigues_to_matrix_jit(params[:, 4:7])))
     if not np.all(np.isfinite(p_host)):
         raise RuntimeError("Camera parameters adjusting failed.")
     return Cameras(

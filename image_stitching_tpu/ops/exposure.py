@@ -481,13 +481,18 @@ def _pair_stats_dev(stack, masks, idx_i, idx_j, off_i, off_j, rect_hw,
 def feed_device(corners, sizes, images_dev, masks_dev,
                 comp_type: ECType = ECType.GAIN_BLOCKS, nr_feeds: int = 1,
                 nr_filtering: int = 2, block_size: int = 64,
-                period=None) -> ExposureCompensator:
+                period=None, extra=None):
     """feed() with the N/I statistics computed on device.
 
     images_dev/masks_dev: the pipeline's padded warped stacks (N, Hp, Wp,
     3) / (N, Hp, Wp), each image's rect origin-anchored; sizes: per-image
     (w, h).  The downloads are the few-KB stat tables (one packed
-    transfer), not the images."""
+    transfer), not the images.
+
+    extra: optional pytree of device arrays to ride the SAME packed
+    download (the stitcher defers its warped-mask fetch into this — one
+    ~28 ms tunnel sync instead of two, tools/vga_census.py r05).  When
+    given, returns (compensator, extra_host)."""
     if isinstance(comp_type, str):
         comp_type = ECType(comp_type.lower())
     from ..core.transfer import fetch_tree
@@ -508,8 +513,11 @@ def feed_device(corners, sizes, images_dev, masks_dev,
 
     n = len(sizes)
     if comp_type == ECType.NO:
-        return ExposureCompensator(comp_type, np.ones(n),
-                                   np.ones((n, 2), np.int32))
+        out = ExposureCompensator(comp_type, np.ones(n),
+                                  np.ones((n, 2), np.int32))
+        if extra is not None:
+            return out, fetch_tree(extra)
+        return out
     blocks = comp_type in (ECType.GAIN_BLOCKS, ECType.CHANNELS_BLOCKS)
     per_channel = comp_type in (ECType.CHANNELS, ECType.CHANNELS_BLOCKS)
     nch = 3 if per_channel else 1
@@ -593,7 +601,8 @@ def feed_device(corners, sizes, images_dev, masks_dev,
         pair_meta.append((items, ranks))
     _mark("dispatch")
 
-    self_tbl, pair_stats = fetch_tree((self_pend, pair_pend))
+    self_tbl, pair_stats, extra_host = fetch_tree(
+        (self_pend, pair_pend, extra))
     _mark("fetch")
 
     # Assemble the global system exactly like the host feed (shared
@@ -637,6 +646,8 @@ def feed_device(corners, sizes, images_dev, masks_dev,
     out = _fit_gains(comp_type, n, grids, offs, b_tot, n_mat, i_mat,
                      nr_feeds, nr_filtering, per_channel, blocks)
     _mark("fit")
+    if extra is not None:
+        return out, extra_host
     return out
 
 

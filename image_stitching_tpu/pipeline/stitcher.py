@@ -529,11 +529,19 @@ def _stitch_body(source, cfg: StitchConfig,
                     iw[i, :rois[i][3], :rois[i][2]].astype(np.float32)
                     for i in range(n)]
             else:
-                mwb = fetch_tree(mw_bits)
+                # Defer the mask download: it rides the exposure stage's
+                # packed stat fetch (one ~28 ms tunnel sync instead of
+                # two — tools/vga_census.py r05).  Host consumers (seam
+                # component labelling) only need the masks after that.
+                mwb = None
+                pending_mw_bits = mw_bits
                 images_warped = None
-            mw = unpack_mask_bits(mwb, int(masks_warped_pad.shape[2]))
-            masks_warped = [mw[i, :rois[i][3], :rois[i][2]]
-                            for i in range(n)]
+            if mwb is not None:
+                mw = unpack_mask_bits(mwb, int(masks_warped_pad.shape[2]))
+                masks_warped = [mw[i, :rois[i][3], :rois[i][2]]
+                                for i in range(n)]
+            else:
+                masks_warped = None
         else:
             images_warped, masks_warped = [], []
             for i in range(n):
@@ -554,13 +562,21 @@ def _stitch_body(source, cfg: StitchConfig,
     seam_u_period = u_period(warper.proj_name, warper.scale)
     with stage_timer("Compensating exposure", times):
         if images_warped_dev is not None:
+            extra = (pending_mw_bits if masks_warped is None else None)
             compensator = exposure_mod.feed_device(
                 corners, sizes, images_warped_dev, masks_warped_dev,
                 comp_type=cfg.expos_comp_type,
                 nr_feeds=cfg.expos_comp_nr_feeds,
                 nr_filtering=cfg.expos_comp_nr_filtering,
                 block_size=cfg.expos_comp_block_size,
-                period=seam_u_period)
+                period=seam_u_period, extra=extra)
+            if extra is not None:
+                from ..core.transfer import unpack_mask_bits
+                compensator, mwb = compensator
+                mw = unpack_mask_bits(
+                    mwb, int(masks_warped_dev.shape[2]))
+                masks_warped = [mw[i, :rois[i][3], :rois[i][2]]
+                                for i in range(n)]
         else:
             compensator = exposure_mod.feed(
                 corners, images_warped, masks_warped,

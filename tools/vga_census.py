@@ -51,11 +51,19 @@ def install():
 
     real_fetch = transfer.fetch_tree
 
+    from image_stitching_tpu.core.logging import device_fence
+    fence = os.environ.get("CENSUS_FENCE", "0") == "1"
+
     def counted_fetch(tree):
         t0 = time.perf_counter()
+        if fence:
+            device_fence()      # drain: waits for all dispatched work
+        t1 = time.perf_counter()
         out = real_fetch(tree)
-        LEDGER.append(("d2h.fetch_tree", _caller(), _nbytes(out),
-                       time.perf_counter() - t0))
+        t2 = time.perf_counter()
+        extra = f" [drain {1e3*(t1-t0):.0f} + xfer {1e3*(t2-t1):.0f} ms]"             if fence else ""
+        LEDGER.append(("d2h.fetch_tree", _caller() + extra,
+                       _nbytes(out), t2 - t0))
         return out
 
     transfer.fetch_tree = counted_fetch
@@ -84,6 +92,45 @@ def install():
         return out
 
     jax.device_put = counted_put
+
+    # Split BA into phases: problem upload+dispatch vs the params fetch.
+    import importlib
+    ba_mod = importlib.import_module(
+        "image_stitching_tpu.estimation.bundle_adjust")
+    real_lm = ba_mod._lm_solve_device
+
+    def counted_lm(*a, **kw):
+        t0 = time.perf_counter()
+        out = real_lm(*a, **kw)
+        LEDGER.append(("ba.lm_dispatch", "bundle_adjust._lm_solve_device",
+                       0, time.perf_counter() - t0))
+        return out
+
+    ba_mod._lm_solve_device = counted_lm
+
+    # Time the other device touchpoints between match fetch and BA fetch.
+    real_pack = ba_mod.pack_correspondences
+    def counted_pack(*a, **kw):
+        t0 = time.perf_counter()
+        out = real_pack(*a, **kw)
+        if fence:
+            device_fence()
+        LEDGER.append(("ba.pack", "pack_correspondences", 0,
+                       time.perf_counter() - t0))
+        return out
+    ba_mod.pack_correspondences = counted_pack
+    stitcher.pack_correspondences = counted_pack
+
+    real_pfc = ba_mod._params_from_cameras
+    def counted_pfc(*a, **kw):
+        t0 = time.perf_counter()
+        out = real_pfc(*a, **kw)
+        if fence:
+            device_fence()
+        LEDGER.append(("ba.params", "_params_from_cameras", 0,
+                       time.perf_counter() - t0))
+        return out
+    ba_mod._params_from_cameras = counted_pfc
 
 
 def main():
