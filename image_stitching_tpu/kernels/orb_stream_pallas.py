@@ -121,6 +121,24 @@ def _kernel(cyx_ref, xyf_ref, pat_ref, planes_hbm, samp_ref, aux_ref,
         samp_ref[r, :] = jnp.sum(vals * oh_col, axis=1)
 
 
+@functools.lru_cache(maxsize=None)
+def _stream_fn(radius: int, span: int, interpret: bool):
+    """Per-static-config kernel entry, wrapped in sequential_vmap: the
+    Mosaic lowering supports ANY-space inputs only as whole arrays with
+    a trivial index map, so the automatic pallas_call batching rule
+    cannot vmap this kernel (observed on the e2e detect stack, whose
+    level-0 planes take the stream path under `jax.vmap`).
+    sequential_vmap turns an enclosing vmap into a lax.map over
+    unbatched kernel calls — same device work (the grid is sequential on
+    a TensorCore anyway)."""
+
+    @jax.custom_batching.sequential_vmap
+    def fn(img_raw, img_blur, xy, pattern_xy):
+        return _stream_impl(img_raw, img_blur, xy, pattern_xy,
+                            radius=radius, span=span, interpret=interpret)
+    return fn
+
+
 @functools.partial(jax.jit, static_argnames=("radius", "span", "interpret"))
 def orb_sample_stream_pallas(img_raw: jnp.ndarray, img_blur: jnp.ndarray,
                              xy: jnp.ndarray, pattern_xy: jnp.ndarray, *,
@@ -131,8 +149,16 @@ def orb_sample_stream_pallas(img_raw: jnp.ndarray, img_blur: jnp.ndarray,
     Same contract as `orb_sample_pallas.orb_sample_pallas` (samples
     (K, 512) f32, angle (K,), moments (K, 2)); admissible for planes far
     beyond the VMEM-resident kernel's budget (see
-    `plane_stream_admissible`).
+    `plane_stream_admissible`).  Safe under `jax.vmap` (sequential map,
+    see `_stream_fn`).
     """
+    return _stream_fn(radius, span, bool(interpret))(
+        img_raw, img_blur, xy, pattern_xy)
+
+
+def _stream_impl(img_raw: jnp.ndarray, img_blur: jnp.ndarray,
+                 xy: jnp.ndarray, pattern_xy: jnp.ndarray, *,
+                 radius: int, span: int, interpret: bool = False):
     h, w = img_raw.shape
     win_h, win_w = win_shape(span)
     hp = max(-(-h // 8) * 8, win_h)

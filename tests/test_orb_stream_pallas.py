@@ -66,6 +66,31 @@ def test_stream_edge_keypoints():
     np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
 
 
+def test_stream_under_vmap_matches_loop():
+    """jax.vmap over the stream kernel (the detect-stack path) must
+    match per-image calls — the custom sequential-vmap rule, since the
+    Mosaic ANY-space lowering cannot batch the plane input."""
+    import jax
+    imgs, blurs, xys = [], [], []
+    for s in range(3):
+        img, blur, xy, pat_xy, span = _setup(seed=20 + s, h=96, w=160,
+                                             k=16)
+        imgs.append(img)
+        blurs.append(blur)
+        xys.append(xy)
+    f = lambda i, b, x: orb_sample_stream_pallas(
+        i, b, x, jnp.asarray(pat_xy), radius=20, span=span,
+        interpret=True)
+    sv, av, mv = jax.vmap(f)(jnp.asarray(np.stack(imgs)),
+                             jnp.asarray(np.stack(blurs)),
+                             jnp.asarray(np.stack(xys)))
+    for i in range(3):
+        s1, a1, m1 = f(jnp.asarray(imgs[i]), jnp.asarray(blurs[i]),
+                       jnp.asarray(xys[i]))
+        np.testing.assert_array_equal(np.asarray(sv[i]), np.asarray(s1))
+        np.testing.assert_array_equal(np.asarray(mv[i]), np.asarray(m1))
+
+
 def test_stream_admissibility_covers_flagship_shapes():
     # The resident kernel excludes these (VERDICT r04 weak #3); the
     # streaming variant admits them.
