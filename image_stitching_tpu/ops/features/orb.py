@@ -399,13 +399,23 @@ def _orb_impl(gray: jnp.ndarray, pattern: jnp.ndarray, *, n_features: int,
         if sample_kernel != "off" and pattern.shape[0] == 256:
             if plane_admissible(lh, lw):
                 kernel_fn = orb_sample_pallas
-            elif plane_stream_admissible(lh, lw):
+            elif (os.environ.get("STITCH_ORB_STREAM", "0") == "1"
+                  and plane_stream_admissible(lh, lw)):
+                # Opt-in only: the HBM-streaming variant is value-exact
+                # but LOSES to the XLA block-gather path at practical
+                # shapes — same-window chip A/B on the e2e stack
+                # (1224x1664 level-0, K=1500): ~88 ms/img streamed vs
+                # ~15 ms XLA (~470 us/grid-step, dominated by the
+                # per-keypoint strided window DMAs; the VMEM-resident
+                # kernel runs the identical compute at ~19 us/step).
+                # Kept as a documented negative result (NOTES_r05).
                 kernel_fn = orb_sample_stream_pallas
             else:
                 import logging
                 logging.getLogger("image_stitching_tpu").info(
                     "ORB sample kernel fallback to XLA path: level %d "
-                    "plane %dx%d exceeds the stream budget", level, lh, lw)
+                    "plane %dx%d exceeds the VMEM-resident budget",
+                    level, lh, lw)
         if kernel_fn is not None:
             pat_xy = jnp.stack(
                 [jnp.concatenate([pattern[:, 0], pattern[:, 2]]),
