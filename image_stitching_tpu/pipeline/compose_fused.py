@@ -1014,6 +1014,14 @@ def fused_compose_strips(images, ks: np.ndarray, rs: np.ndarray,
               f"({n_strips} strips x {strip_w}, canvas {canvas_h}x"
               f"{canvas_w}, bands {n_bands}, n {n})", file=sys.stderr)
         t0 = _time.perf_counter()
+    if os.environ.get("STITCH_STRIPS_FENCE", "0") == "1":
+        # Diagnostic: split device compute from the tunnel download (the
+        # two do NOT overlap through axon — measured r05).
+        from ..core.logging import device_fence
+        device_fence()
+        print(f"# strips.compute(fenced): {_time.perf_counter() - t0:.3f}s",
+              file=sys.stderr)
+        t0 = _time.perf_counter()
 
     from ..core.transfer import fetch_tree, unpack_mask_bits
     if out is None:
