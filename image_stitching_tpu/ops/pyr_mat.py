@@ -85,82 +85,176 @@ def up_mats(out_h: int, out_w: int, in_h: int, in_w: int):
 # HLO constants and O(n/10)x wasted MACs — a 28k-px mosaic canvas bakes a
 # 1.6 GB up-matrix (the axon remote-compile tunnel rejects the request
 # with HTTP 413) and the rig37 canvas a 94 MB one.  Above _T_DENSE the
-# same banded product runs TILED: reflect-pad once, then every _TILE
-# outputs are one shared (TILE, 2*TILE+4) local-stencil matmul over an
-# overlapping input window — identical <=5-term sums, O(n*TILE) FLOPs,
-# one ~0.5 MB constant shared by every axis length.
+# same banded product runs TILED: every _TILE outputs are one shared
+# local-stencil matmul over NON-overlapping input tiles plus tiny halo
+# terms — identical <=5-term sums, O(n*TILE) FLOPs, small shared
+# constants.
+#
+# r05 rework (chip-measured): the original tiled path built overlapping
+# (TILE+4)-wide windows by stacking 18 strided slices and, for pyrUp,
+# materialized a zero-stuffed lane-interleave first — both lower
+# catastrophically on TPU (117 ms for ONE (4, 4096, 4608) pyr_up; the
+# interleave alone 118 ms; the window stack 109 ms).  The rework:
+#   * input tiles come from FREE reshapes (lane-aligned minor dims);
+#     halos are narrow shifted slices; windows are never materialized —
+#     the stencil matrix splits into (body, halo) parts and the product
+#     is a sum of einsums;
+#   * pyrUp folds the zero-stuffing PARITY into the stencil matrix (out
+#     tile of T reads x locals [-1, H] with H = T/2): no stuffed array,
+#     no lane interleave;
+#   * row-axis variants contract the tile axis directly
+#     ("ot,...ntw->...now") — no transposes.
+# Same-shape A/B after: pyr_up 117.7 -> see NOTES_r05; exactness pinned
+# by tests/test_pyr_tiled.py against the dense matrices.
 _T_DENSE = 4096
 _TILE = 256
 
 
 @functools.lru_cache(maxsize=None)
-def _down_local_np() -> np.ndarray:
-    m = np.zeros((_TILE, 2 * _TILE + 4), np.float64)
+def _down_split_np():
+    """Down stencil split into (body (T, 2T), tail (T, 4)) parts: output
+    local o of a tile reads xp[2o + j] (xp = reflect-2-padded input, tile
+    window starts at 2iT); columns < 2T live in the tile body, the last 4
+    in the next tile's head."""
+    body = np.zeros((_TILE, 2 * _TILE), np.float64)
+    tail = np.zeros((_TILE, 4), np.float64)
     for o in range(_TILE):
         for j in range(5):
-            m[o, 2 * o + j] += _K5[j]
-    return m.astype(np.float32)
+            c = 2 * o + j
+            if c < 2 * _TILE:
+                body[o, c] += _K5[j]
+            else:
+                tail[o, c - 2 * _TILE] += _K5[j]
+    return body.astype(np.float32), tail.astype(np.float32)
 
 
 @functools.lru_cache(maxsize=None)
-def _up_local_np() -> np.ndarray:
-    m = np.zeros((_TILE, _TILE + 4), np.float64)
+def _up_split_np():
+    """Up stencil with the zero-stuffing PARITY folded in, split into
+    (prev (T, 1), body (T, H), next (T, 1)) with H = T/2: output local t
+    reads x local m = (t + j - 2) / 2 for even t + j, m in [-1, H]."""
+    h = _TILE // 2
+    prev = np.zeros((_TILE, 1), np.float64)
+    body = np.zeros((_TILE, h), np.float64)
+    nxt = np.zeros((_TILE, 1), np.float64)
     for o in range(_TILE):
         for j in range(5):
-            m[o, o + j] += 2.0 * _K5[j]
-    return m.astype(np.float32)
+            if (o + j) % 2 != 0:
+                continue
+            m = (o + j - 2) // 2
+            if m < 0:
+                prev[o, 0] += 2.0 * _K5[j]
+            elif m < h:
+                body[o, m] += 2.0 * _K5[j]
+            else:
+                nxt[o, 0] += 2.0 * _K5[j]
+    return (prev.astype(np.float32), body.astype(np.float32),
+            nxt.astype(np.float32))
 
 
-def _pad_last(x, lo: int, hi: int, mode: str = "constant"):
-    pad = [(0, 0)] * (x.ndim - 1) + [(lo, hi)]
+def _pad_axis(x, lo: int, hi: int, axis: int, mode: str = "constant"):
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (lo, hi)
     return jnp.pad(x, pad, mode=mode)
 
 
-def _windows_last(xp, stride: int, length: int, n_tiles: int):
-    """Overlapping windows (static slices) -> (..., n_tiles, length)."""
-    return jnp.stack([xp[..., i * stride: i * stride + length]
-                      for i in range(n_tiles)], axis=-2)
+def _tiles_axis(xq, start: int, tile: int, n_tiles: int, width: int,
+                axis: int):
+    """(n_tiles, width) leading slices of each stride-`tile` window of
+    `xq` along `axis`, built from ONE contiguous slice + a free reshape
+    (no per-window strided copies).  Requires xq length >= start +
+    n_tiles * tile along axis (zero-padding beyond is the caller's
+    garbage-safe region)."""
+    idx = xq.ndim + axis if axis < 0 else axis
+    sl = [slice(None)] * xq.ndim
+    sl[idx] = slice(start, start + n_tiles * tile)
+    body = xq[tuple(sl)]
+    shape = list(body.shape)
+    shape[idx:idx + 1] = [n_tiles, tile]
+    body = body.reshape(shape)
+    if width < tile:
+        sl3 = [slice(None)] * body.ndim
+        sl3[idx + 1] = slice(0, width)
+        body = body[tuple(sl3)]
+    return body
 
 
-def _down_last(x):
-    """pyrDown along the last axis only."""
-    n = x.shape[-1]
+def _down_axis(x, axis: int):
+    """pyrDown along `axis` (-1 or -2) via tile-reshape + split matmuls."""
+    n = x.shape[axis]
     n_half = (n + 1) // 2
     if n <= _T_DENSE:
-        return jnp.einsum("...w,ow->...o", x, jnp.asarray(_down_mat_np(n)))
-    # jnp reflect pad == BORDER_REFLECT_101 (edge excluded).
-    xp = _pad_last(x, 2, 2, mode="reflect")
+        m = jnp.asarray(_down_mat_np(n))
+        if axis == -1:
+            return jnp.einsum("...w,ow->...o", x, m)
+        return jnp.einsum("ot,...tw->...ow", m, x)
+    a_body, a_tail = (jnp.asarray(m) for m in _down_split_np())
     nt = -(-n_half // _TILE)
-    need = 2 * nt * _TILE + 4
+    # reflect-2 pad (jnp reflect == BORDER_REFLECT_101), zero-pad so the
+    # last tile's body and tail slices exist; zeros only feed outputs
+    # >= n_half, which are sliced off.
+    # The shifted tail slice reads one tile beyond the body.
+    need = 2 * (nt + 1) * _TILE
+    xq = _pad_axis(x, 2, 2, axis, mode="reflect")
     if need > n + 4:
-        xp = _pad_last(xp, 0, need - (n + 4))
-    tiles = _windows_last(xp, 2 * _TILE, 2 * _TILE + 4, nt)
-    y = jnp.einsum("ot,...nt->...no", jnp.asarray(_down_local_np()), tiles)
-    return y.reshape(*x.shape[:-1], nt * _TILE)[..., :n_half]
+        xq = _pad_axis(xq, 0, need - (n + 4), axis)
+    body = _tiles_axis(xq, 0, 2 * _TILE, nt, 2 * _TILE, axis)
+    tail = _tiles_axis(xq, 2 * _TILE, 2 * _TILE, nt, 4, axis)
+    if axis == -1:
+        y = (jnp.einsum("ot,...nt->...no", a_body, body)
+             + jnp.einsum("ot,...nt->...no", a_tail, tail))
+        y = y.reshape(*x.shape[:-1], nt * _TILE)
+        return y[..., :n_half]
+    y = (jnp.einsum("ot,...ntw->...now", a_body, body)
+         + jnp.einsum("ot,...ntw->...now", a_tail, tail))
+    y = y.reshape(*x.shape[:-2], nt * _TILE, x.shape[-1])
+    return y[..., :n_half, :]
 
 
-def _up_last(x, n_out: int):
-    """pyrUp along the last axis only (zero-stuff -> blur -> x2)."""
-    n_in = x.shape[-1]
+def _up_axis(x, n_out: int, axis: int):
+    """pyrUp along `axis` (-1 or -2): parity-folded stencil, no stuffed
+    intermediate.  Supports n_out in {2*n_in, 2*n_in - 1} (the pyramid
+    callers' only shapes) on the tiled path."""
+    n_in = x.shape[axis]
     if n_out <= _T_DENSE:
-        return jnp.einsum("...w,ow->...o", x,
-                          jnp.asarray(_up_mat_np(n_out, n_in)))
-    stuffed = jnp.stack([x, jnp.zeros_like(x)], axis=-1
-                        ).reshape(*x.shape[:-1], 2 * n_in)
-    if n_out > 2 * n_in:
-        stuffed = _pad_last(stuffed, 0, n_out - 2 * n_in)
-    sp = _pad_last(stuffed[..., :n_out], 2, 2, mode="reflect")
+        m = jnp.asarray(_up_mat_np(n_out, n_in))
+        if axis == -1:
+            return jnp.einsum("...w,ow->...o", x, m)
+        return jnp.einsum("ot,...tw->...ow", m, x)
+    assert n_out in (2 * n_in, 2 * n_in - 1), (n_out, n_in)
+    a_prev, a_body, a_nxt = (jnp.asarray(m) for m in _up_split_np())
+    h = _TILE // 2
     nt = -(-n_out // _TILE)
-    need = nt * _TILE + 4
-    if need > n_out + 4:
-        sp = _pad_last(sp, 0, need - (n_out + 4))
-    tiles = _windows_last(sp, _TILE, _TILE + 4, nt)
-    y = jnp.einsum("ot,...nt->...no", jnp.asarray(_up_local_np()), tiles)
-    return y.reshape(*x.shape[:-1], nt * _TILE)[..., :n_out]
+    # Edge values with REFLECT_101 on the stuffed axis: left pad is
+    # stuffed[-2] = x[1]; right pad is stuffed[n_out or n_out+1]
+    # (whichever is even) = x[-1] for even n_out, x[-2] for odd.
+    sl = [slice(None)] * x.ndim
 
-
-def _swap(x):
-    return jnp.swapaxes(x, -1, -2)
+    def take(a, b):
+        s = list(sl)
+        s[axis] = slice(a, b)
+        return x[tuple(s)]
+    left = take(1, 2)
+    right = take(n_in - 1, n_in) if n_out % 2 == 0 else take(n_in - 2,
+                                                             n_in - 1)
+    xe = jnp.concatenate([left, x, right], axis=axis)
+    need = 1 + (nt + 1) * h
+    if need > n_in + 2:
+        xe = _pad_axis(xe, 0, need - (n_in + 2), axis)
+    prev = _tiles_axis(xe, 0, h, nt, 1, axis)
+    body = _tiles_axis(xe, 1, h, nt, h, axis)
+    nxt = _tiles_axis(xe, 1 + h, h, nt, 1, axis)
+    if axis == -1:
+        y = (jnp.einsum("ot,...nt->...no", a_body, body)
+             + jnp.einsum("ot,...nt->...no", a_prev, prev)
+             + jnp.einsum("ot,...nt->...no", a_nxt, nxt))
+        y = y.reshape(*x.shape[:-1], nt * _TILE)
+        return y[..., :n_out]
+    y = (jnp.einsum("ot,...ntw->...now", a_body, body)
+         + jnp.einsum("ot,...ntw->...now", a_prev, prev)
+         + jnp.einsum("ot,...ntw->...now", a_nxt, nxt))
+    y = y.reshape(*x.shape[:-2], nt * _TILE, x.shape[-1])
+    return y[..., :n_out, :]
 
 
 def pyr_down_mm(x: jnp.ndarray) -> jnp.ndarray:
@@ -169,7 +263,7 @@ def pyr_down_mm(x: jnp.ndarray) -> jnp.ndarray:
     if max(h, w) <= _T_DENSE:
         dh, dw = down_mats(h, w)
         return jnp.einsum("oh,...hw,pw->...op", dh, x, dw)
-    return _down_last(_swap(_down_last(_swap(x))))
+    return _down_axis(_down_axis(x, -1), -2)
 
 
 def pyr_up_mm(x: jnp.ndarray, out_hw) -> jnp.ndarray:
@@ -177,4 +271,4 @@ def pyr_up_mm(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     if max(out_hw[0], out_hw[1]) <= _T_DENSE:
         uh, uw = up_mats(out_hw[0], out_hw[1], x.shape[-2], x.shape[-1])
         return jnp.einsum("oh,...hw,pw->...op", uh, x, uw)
-    return _up_last(_swap(_up_last(_swap(x), out_hw[0])), out_hw[1])
+    return _up_axis(_up_axis(x, out_hw[1], -1), out_hw[0], -2)
