@@ -313,18 +313,69 @@ def _backward_xy(proj_bwd, u: Array, v: Array, k: Array, r: Array,
             jnp.where(valid, py / zs, -1.0), valid)
 
 
+# Separable backward ray maps: for axis-aligned warped grids the ray
+# direction factors into functions of u alone and v alone, so the
+# transcendentals are O(W + H) 1-D ops instead of O(W*H) per-pixel ones
+# — the compose scan was backward-warp-math bound at gigapixel scale
+# (~6.6 GP of per-pixel sin/atan for a 271 MP canvas, NOTES_r05).
+# sin(broadcast(x)) == broadcast(sin(x)) elementwise, and the factor
+# product is the same f32 multiply the 2-D form executes, so sample
+# coordinates are BITWISE identical to the meshgrid path (the golden
+# cv2 warp tests hold unchanged).  Rank-1 factors are returned
+# broadcast-ready; `_backward_xy`'s projection tail broadcasts them.
+def _sph_bwd_sep(u, v):
+    sinv = jnp.sin(jnp.pi - v)[:, None]
+    return (sinv * jnp.sin(u)[None, :],
+            jnp.cos(jnp.pi - v)[:, None],
+            sinv * jnp.cos(u)[None, :])
+
+
+def _cyl_bwd_sep(u, v):
+    return jnp.sin(u)[None, :], v[:, None], jnp.cos(u)[None, :]
+
+
+def _plane_bwd_sep(u, v):
+    return u[None, :], v[:, None], jnp.ones((v.shape[0], 1), jnp.float32)
+
+
+SEPARABLE_BWD = {"plane": _plane_bwd_sep, "spherical": _sph_bwd_sep,
+                 "cylindrical": _cyl_bwd_sep}
+
+
+def backward_xy_1d(proj_name: str, us: Array, vs: Array, k: Array,
+                   r: Array, scale) -> Tuple[Array, Array, Array]:
+    """`_backward_xy` over the grid us x vs (1-D coords), using the
+    separable ray factorization when the projection has one."""
+    sep = SEPARABLE_BWD.get(proj_name)
+    if sep is None:
+        uu, vv = jnp.meshgrid(us, vs)
+        return _backward_xy(PROJECTIONS[proj_name][1], uu, vv, k, r,
+                            scale)
+    k = jnp.asarray(k, jnp.float32)
+    r = jnp.asarray(r, jnp.float32)
+    k_rinv = k @ r.T
+    x_, y_, z_ = sep(us / scale, vs / scale)
+    px = k_rinv[0, 0] * x_ + k_rinv[0, 1] * y_ + k_rinv[0, 2] * z_
+    py = k_rinv[1, 0] * x_ + k_rinv[1, 1] * y_ + k_rinv[1, 2] * z_
+    pz = k_rinv[2, 0] * x_ + k_rinv[2, 1] * y_ + k_rinv[2, 2] * z_
+    pz = jnp.broadcast_to(pz, (vs.shape[0], us.shape[0]))
+    valid = pz > 0
+    zs = jnp.where(jnp.abs(pz) < 1e-12, 1e-12, pz)
+    return (jnp.where(valid, jnp.broadcast_to(px, zs.shape) / zs, -1.0),
+            jnp.where(valid, jnp.broadcast_to(py, zs.shape) / zs, -1.0),
+            valid)
+
+
 @functools.partial(jax.jit, static_argnames=("proj_name", "dst_h", "dst_w",
                                              "interp", "border"))
 def _warp_kernel(src: Array, k: Array, r: Array, scale: Array,
                  dst_tl: Array, *, proj_name: str, dst_h: int, dst_w: int,
                  interp: str, border: str) -> Array:
     """Fused backward-map + gather producing the dst ROI."""
-    proj_bwd = PROJECTIONS[proj_name][1]
     h, w = src.shape[0], src.shape[1]
     vs = dst_tl[1] + jnp.arange(dst_h, dtype=jnp.float32)
     us = dst_tl[0] + jnp.arange(dst_w, dtype=jnp.float32)
-    uu, vv = jnp.meshgrid(us, vs)
-    sx, sy, valid = _backward_xy(proj_bwd, uu, vv, k, r, scale)
+    sx, sy, valid = backward_xy_1d(proj_name, us, vs, k, r, scale)
 
     img = src.astype(jnp.float32)
     if img.ndim == 2:

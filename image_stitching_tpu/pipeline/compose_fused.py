@@ -35,7 +35,8 @@ from ..config import BlenderType, ExposureCompensatorType as ECType
 from ..ops.blend import WEIGHT_EPS, num_bands_for
 from ..ops.imgproc import dilate3
 from ..ops.pyr_mat import pyr_down_mm, pyr_up_mm
-from ..ops.warps import PROJECTIONS, Warper, _backward_xy, result_roi
+from ..ops.warps import (PROJECTIONS, Warper, _backward_xy,
+                         backward_xy_1d, result_roi)
 
 __all__ = ["fused_compose", "fused_compose_sharded",
            "fused_compose_strips"]
@@ -160,7 +161,6 @@ def _warp_stack(images, ks, rs, scale, tls, *, proj_name: str, pad_h: int,
     fewer bytes through the ~20 MB/s tunnel than f32 (measured:
     tools/profile_tunnel.py).
     """
-    proj_bwd = PROJECTIONS[proj_name][1]
     n, hc, wc = images.shape[0], images.shape[1], images.shape[2]
     # Accept the device-resident u8 seam stack directly (avoids a ~10 MB
     # host->device f32 re-upload through the tunnel per stitch).
@@ -177,8 +177,7 @@ def _warp_stack(images, ks, rs, scale, tls, *, proj_name: str, pad_h: int,
         img, k, r, tl = args
         us = tl[0] + jnp.arange(pad_w, dtype=jnp.float32)
         vs = tl[1] + jnp.arange(pad_h, dtype=jnp.float32)
-        uu, vv = jnp.meshgrid(us, vs)
-        sx, sy, valid = _backward_xy(proj_bwd, uu, vv, k, r, scale)
+        sx, sy, valid = backward_xy_1d(proj_name, us, vs, k, r, scale)
         warped = sample(img, sx, sy)
         xr = jnp.round(sx)
         yr = jnp.round(sy)
@@ -214,7 +213,7 @@ def _interp_matrix(coords, n_src: int):
 
 
 def _warp_gain_seam(img, k, r, us, vs, scale, smask, stl, seam_ratio,
-                    gain, gain_grid, gain_roi, *, proj_bwd, gain_mode,
+                    gain, gain_grid, gain_roi, *, proj_name, gain_mode,
                     use_pallas: bool = False):
     """Per-image compose sample on the warped-canvas grid us x vs (1-D).
 
@@ -238,8 +237,7 @@ def _warp_gain_seam(img, k, r, us, vs, scale, smask, stl, seam_ratio,
     # u8 in HBM — 4x smaller); no-op for the f32 stacks fused_compose
     # already uploads.
     img = img.astype(jnp.float32)
-    uu, vv = jnp.meshgrid(us, vs)
-    sx, sy, valid = _backward_xy(proj_bwd, uu, vv, k, r, scale)
+    sx, sy, valid = backward_xy_1d(proj_name, us, vs, k, r, scale)
 
     def gather_sample(_):
         # BORDER_REFLECT bilinear image sample.  Four scalar gathers, NOT
@@ -400,7 +398,6 @@ def _accumulate_impl(accs, images, idx, ks, rs, scale, tls, canvas_tl,
       batched einsum pyramids + accumulate-only scan   1.8 ms
         (not worth materializing every warped rect for the last 1.2 ms)
     """
-    proj_bwd = PROJECTIONS[proj_name][1]
     imgs_b = images[idx]
     smask_b = seam_masks[idx]
     gains_b = gains[idx]
@@ -411,7 +408,7 @@ def _accumulate_impl(accs, images, idx, ks, rs, scale, tls, canvas_tl,
         vs = tl[1] + jnp.arange(pad_h, dtype=jnp.float32)
         warped, weight = _warp_gain_seam(
             img, k, r, us, vs, scale, smask, stl, seam_ratio,
-            gain, ggrid, groi, proj_bwd=proj_bwd,
+            gain, ggrid, groi, proj_name=proj_name,
             gain_mode=gain_mode, use_pallas=use_pallas)
 
         if feather_sharpness > 0.0:
@@ -705,7 +702,6 @@ def _sharded_compose_fn(mesh, axis: str, proj_name: str, canvas_h: int,
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    proj_bwd = PROJECTIONS[proj_name][1]
     n_dev = mesh.shape[axis]
     w_local = canvas_w // n_dev
     # Feather mode widens the recompute margin so the per-shard L1 EDT
@@ -728,7 +724,7 @@ def _sharded_compose_fn(mesh, axis: str, proj_name: str, canvas_h: int,
             img, k, r, smask, stl, gain, ggrid, groi = inp
             warped, weight = _warp_gain_seam(
                 img, k, r, us, vs, scale, smask, stl, seam_ratio,
-                gain, ggrid, groi, proj_bwd=proj_bwd,
+                gain, ggrid, groi, proj_name=proj_name,
                 gain_mode=gain_mode, use_pallas=use_pallas)
             if feather_sharpness > 0.0:
                 # Same FeatherBlender weight map as _fused_compose_impl.
